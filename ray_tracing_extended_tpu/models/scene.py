@@ -1,0 +1,347 @@
+"""Host-side scene construction: the analog of the reference's scene scan +
+buffer upload (RayTracingManager.CreateSpheres/CreateMeshes,
+RayTracingManager.cs:135-187).
+
+``SceneBuilder`` collects spheres and triangle meshes (chunked with the
+octree splitter, like RayTracedMesh.GetSubMeshes -> MeshSplitter), then
+``build()`` flattens everything into lane-padded SoA device arrays:
+
+  * spheres padded to a multiple of 128 with radius -1 (never hit);
+  * the global triangle buffer (one flat list across all chunks, mirroring
+    RayTracingManager.cs:150-151) padded to a multiple of 128 with degenerate
+    zero triangles (Moller-Trumbore det = 0 => never hit);
+  * one flat material table (sphere materials first, then per-chunk
+    materials, in insertion order - preserving the reference's
+    spheres-then-meshes closest-hit tie-break order).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Sequence
+
+import numpy as np
+import jax.numpy as jnp
+
+from ..accel.chunks import MAX_TRIS_PER_CHUNK, create_chunks
+from .geometry import (
+    FLAG_NONE,
+    BVH,
+    Environment,
+    Materials,
+    MeshChunks,
+    Scene,
+    Spheres,
+    Triangles,
+)
+
+# Per-mesh triangle budget of the reference (RayTracingManager.cs:9). We keep
+# the constant for parity checks but do NOT enforce it: the BVH path is built
+# for far larger meshes (BASELINE.json config 4).
+REFERENCE_TRIANGLE_LIMIT = 1500
+
+_LANE = 128  # pad primitive counts to the TPU lane width
+
+
+@dataclasses.dataclass
+class Material:
+    """Host material with the reference's defaults
+    (RayTracingMaterial.SetDefaultValues, RayTracingMaterial.cs:21-28).
+    Note the parity trap: default specularProbability is 1, so throughput
+    multiplies specularColour for default materials (SURVEY.md section 5
+    quirk 5)."""
+
+    colour: tuple = (1.0, 1.0, 1.0)
+    emission_colour: tuple = (1.0, 1.0, 1.0)
+    specular_colour: tuple = (1.0, 1.0, 1.0)
+    emission_strength: float = 0.0
+    smoothness: float = 0.0
+    specular_probability: float = 1.0
+    flag: int = FLAG_NONE
+    ior: float = 1.0  # dielectric extension (flag 3)
+
+    @staticmethod
+    def lambertian(colour, smoothness: float = 0.0):
+        """Convenience: plain diffuse (specular lottery never fires)."""
+        return Material(
+            colour=tuple(colour), specular_probability=0.0, smoothness=smoothness
+        )
+
+    @staticmethod
+    def metal(colour, smoothness: float = 1.0, specular_colour=None):
+        return Material(
+            colour=tuple(colour),
+            specular_colour=tuple(specular_colour or colour),
+            specular_probability=1.0,
+            smoothness=smoothness,
+        )
+
+    @staticmethod
+    def emissive(colour, strength: float):
+        return Material(
+            colour=(0.0, 0.0, 0.0),
+            emission_colour=tuple(colour),
+            emission_strength=strength,
+            specular_probability=0.0,
+        )
+
+    @staticmethod
+    def dielectric(ior: float = 1.5, colour=(1.0, 1.0, 1.0)):
+        from .geometry import FLAG_DIELECTRIC
+
+        return Material(colour=tuple(colour), flag=FLAG_DIELECTRIC, ior=ior)
+
+
+def _round_up(x: int, m: int) -> int:
+    return max(m, -(-x // m) * m)
+
+
+class SceneBuilder:
+    def __init__(self, env: Environment | None = None):
+        self._sphere_center: list = []
+        self._sphere_radius: list = []
+        self._sphere_mat: list[Material] = []
+        self._chunks: list = []  # (tri_pos, tri_normal, bmin, bmax, Material)
+        self.env = env if env is not None else Environment.disabled()
+
+    def add_sphere(self, center, radius: float, material: Material):
+        """One sphere record (Sphere.cs:3-8 / RayTracingManager.cs:167-187)."""
+        self._sphere_center.append(np.asarray(center, np.float32))
+        self._sphere_radius.append(np.float32(radius))
+        self._sphere_mat.append(material)
+        return self
+
+    def add_mesh(
+        self,
+        vertices: np.ndarray,
+        indices: np.ndarray,
+        material: Material,
+        normals: np.ndarray | None = None,
+        transform: np.ndarray | None = None,
+        max_tris_per_chunk: int = MAX_TRIS_PER_CHUNK,
+        chunked: bool = True,
+    ):
+        """Add a triangle mesh, world-transformed and octree-chunked.
+
+        vertices: (V, 3); indices: (F, 3) int; normals: (V, 3) or None
+        (face normals are derived, giving flat shading); transform: optional
+        (4, 4) local-to-world.
+        """
+        vertices = np.asarray(vertices, np.float32)
+        indices = np.asarray(indices, np.int64).reshape(-1, 3)
+        if normals is None:
+            normals = _vertex_normals(vertices, indices)
+        normals = np.asarray(normals, np.float32)
+        if transform is not None:
+            transform = np.asarray(transform, np.float32)
+            r = transform[:3, :3]
+            t = transform[:3, 3]
+            vertices = vertices @ r.T + t
+            # Normal matrix = inverse-transpose of the linear part
+            # (the reference transforms normals by TransformDirection which
+            # assumes uniform scale; we handle general affine).
+            n_mat = np.linalg.inv(r).T
+            normals = normals @ n_mat.T
+            normals = normals / np.maximum(
+                np.linalg.norm(normals, axis=1, keepdims=True), 1e-20
+            )
+        tri_pos = vertices[indices]  # (F, 3, 3)
+        tri_normal = normals[indices]
+        if chunked:
+            for ch in create_chunks(
+                tri_pos, tri_normal, max_tris=max_tris_per_chunk
+            ):
+                self._chunks.append(
+                    (ch.tri_pos, ch.tri_normal, ch.bounds_min, ch.bounds_max, material)
+                )
+        else:
+            bmin = tri_pos.reshape(-1, 3).min(axis=0)
+            bmax = tri_pos.reshape(-1, 3).max(axis=0)
+            self._chunks.append((tri_pos, tri_normal, bmin, bmax, material))
+        return self
+
+    def add_triangles(
+        self, tri_pos: np.ndarray, tri_normal: np.ndarray, material: Material
+    ):
+        """Add a raw pre-chunked triangle soup as a single chunk."""
+        tri_pos = np.asarray(tri_pos, np.float32)
+        tri_normal = np.asarray(tri_normal, np.float32)
+        bmin = tri_pos.reshape(-1, 3).min(axis=0)
+        bmax = tri_pos.reshape(-1, 3).max(axis=0)
+        self._chunks.append((tri_pos, tri_normal, bmin, bmax, material))
+        return self
+
+    @property
+    def num_spheres(self) -> int:
+        return len(self._sphere_center)
+
+    @property
+    def num_triangles(self) -> int:
+        return sum(c[0].shape[0] for c in self._chunks)
+
+    def build(self, build_bvh: str | None = None) -> Scene:
+        """Flatten to device arrays.
+
+        build_bvh: None, "tri", "sphere", or "both" - attach LBVHs for the
+        large-scene traversal path (accel/bvh.py).
+        """
+        s = len(self._sphere_center)
+        # +1 guarantees at least one padding slot: BVH leaf sentinels point at
+        # the first padding primitive (never-hit by construction).
+        s_pad = _round_up(s + 1, _LANE)
+        centers = np.zeros((s_pad, 3), np.float32)
+        # Padding spheres sit at the origin with radius -1: the intersector
+        # rejects radius <= 0, and keeping coordinates small avoids f32
+        # overflow (and NaNs) in the pairwise quadratic terms.
+        radii = np.full((s_pad,), -1.0, np.float32)
+        if s:
+            centers[:s] = np.stack(self._sphere_center)
+            radii[:s] = np.array(self._sphere_radius, np.float32)
+
+        mats: list[Material] = list(self._sphere_mat)
+        sphere_mat_idx = np.arange(s, dtype=np.int32)
+
+        chunk_first = []
+        chunk_count = []
+        chunk_bmin = []
+        chunk_bmax = []
+        chunk_mat_idx = []
+        tri_pos_all = []
+        tri_nrm_all = []
+        tri_mat_idx = []
+        cursor = 0
+        for tri_pos, tri_nrm, bmin, bmax, mat in self._chunks:
+            mats.append(mat)
+            midx = len(mats) - 1
+            n = tri_pos.shape[0]
+            chunk_first.append(cursor)
+            chunk_count.append(n)
+            chunk_bmin.append(bmin)
+            chunk_bmax.append(bmax)
+            chunk_mat_idx.append(midx)
+            tri_pos_all.append(tri_pos)
+            tri_nrm_all.append(tri_nrm)
+            tri_mat_idx.append(np.full((n,), midx, np.int32))
+            cursor += n
+
+        t = cursor
+        t_pad = _round_up(t + 1, _LANE)
+        pos = np.zeros((t_pad, 3, 3), np.float32)
+        nrm = np.zeros((t_pad, 3, 3), np.float32)
+        tmat = np.zeros((t_pad,), np.int32)
+        if t:
+            pos[:t] = np.concatenate(tri_pos_all)
+            nrm[:t] = np.concatenate(tri_nrm_all)
+            tmat[:t] = np.concatenate(tri_mat_idx)
+
+        c = len(chunk_first)
+        c_pad = max(1, c)
+        chunks = MeshChunks(
+            first_tri=jnp.asarray(
+                np.array(chunk_first + [0] * (c_pad - c), np.int32)
+            ),
+            num_tris=jnp.asarray(
+                np.array(chunk_count + [0] * (c_pad - c), np.int32)
+            ),
+            bounds_min=jnp.asarray(
+                np.array(chunk_bmin + [[1e30] * 3] * (c_pad - c), np.float32)
+            ),
+            bounds_max=jnp.asarray(
+                np.array(chunk_bmax + [[1e30] * 3] * (c_pad - c), np.float32)
+            ),
+            mat_idx=jnp.asarray(
+                np.array(chunk_mat_idx + [0] * (c_pad - c), np.int32)
+            ),
+        )
+
+        if not mats:
+            mats = [Material()]
+            sphere_mat_idx = np.zeros((0,), np.int32)
+
+        materials = _materials_soa(mats)
+        smat = np.zeros((s_pad,), np.int32)
+        if s:
+            smat[:s] = sphere_mat_idx
+
+        spheres = Spheres(
+            center=jnp.asarray(centers),
+            radius=jnp.asarray(radii),
+            mat_idx=jnp.asarray(smat),
+        )
+        triangles = _triangles_soa(pos, nrm, tmat)
+
+        tri_bvh = sphere_bvh = None
+        if build_bvh in ("tri", "both") and t:
+            from ..accel.bvh import build_lbvh
+
+            tri_bvh = build_lbvh(
+                pos[:t].min(axis=1), pos[:t].max(axis=1), sentinel=t
+            )
+        if build_bvh in ("sphere", "both") and s:
+            from ..accel.bvh import build_lbvh
+
+            sphere_bvh = build_lbvh(
+                centers[:s] - radii[:s, None],
+                centers[:s] + radii[:s, None],
+                sentinel=s,
+            )
+
+        return Scene(
+            spheres=spheres,
+            triangles=triangles,
+            chunks=chunks,
+            materials=materials,
+            env=self.env,
+            tri_bvh=tri_bvh,
+            sphere_bvh=sphere_bvh,
+        )
+
+
+def _vertex_normals(vertices: np.ndarray, indices: np.ndarray) -> np.ndarray:
+    """Area-weighted vertex normals for meshes that ship without them."""
+    v0, v1, v2 = (vertices[indices[:, i]] for i in range(3))
+    face_n = np.cross(v1 - v0, v2 - v0)
+    out = np.zeros_like(vertices)
+    for i in range(3):
+        np.add.at(out, indices[:, i], face_n)
+    norm = np.linalg.norm(out, axis=1, keepdims=True)
+    return (out / np.maximum(norm, 1e-20)).astype(np.float32)
+
+
+def _materials_soa(mats: Sequence[Material]) -> Materials:
+    def arr(get, d=1):
+        a = np.array([get(m) for m in mats], np.float32)
+        return jnp.asarray(a)
+
+    return Materials(
+        colour=arr(lambda m: m.colour[:3]),
+        emission_colour=arr(lambda m: m.emission_colour[:3]),
+        specular_colour=arr(lambda m: m.specular_colour[:3]),
+        emission_strength=arr(lambda m: m.emission_strength),
+        smoothness=arr(lambda m: m.smoothness),
+        specular_probability=arr(lambda m: m.specular_probability),
+        flag=jnp.asarray(np.array([m.flag for m in mats], np.int32)),
+        ior=arr(lambda m: m.ior),
+    )
+
+
+def _triangles_soa(pos: np.ndarray, nrm: np.ndarray, mat_idx: np.ndarray) -> Triangles:
+    """Precompute the per-triangle Moller-Trumbore constants
+    (see models/geometry.py Triangles docstring)."""
+    a, b, c = pos[:, 0], pos[:, 1], pos[:, 2]
+    e_ab = b - a
+    e_ac = c - a
+    n = np.cross(e_ab, e_ac)
+    return Triangles(
+        pos_a=jnp.asarray(a),
+        edge_ab=jnp.asarray(e_ab),
+        edge_ac=jnp.asarray(e_ac),
+        normal_a=jnp.asarray(nrm[:, 0]),
+        normal_b=jnp.asarray(nrm[:, 1]),
+        normal_c=jnp.asarray(nrm[:, 2]),
+        n=jnp.asarray(n),
+        n_dot_a=jnp.asarray(np.sum(n * a, axis=1)),
+        cross_eac_a=jnp.asarray(np.cross(e_ac, a)),
+        cross_eab_a=jnp.asarray(np.cross(e_ab, a)),
+        mat_idx=jnp.asarray(mat_idx),
+    )

@@ -1,0 +1,144 @@
+"""Frame rendering driver: the TPU analog of RayTracingManager.OnRenderImage.
+
+The reference launches one fragment thread per pixel (Graphics.Blit,
+RayTracingManager.cs:76) then averages frames (accumulate pass, :79-81). Here
+a frame render is a single jitted program: pixels are flattened, padded to a
+lane-aligned block size, and processed as dense (block,) batches - each block
+runs the spp loop (sequential, because the reference threads ONE RNG state
+through all of a pixel's samples, RayTracing.shader:374-385) around the
+masked bounce loop (ops/trace.py). Blocks are mapped with ``lax.map`` to
+bound the (rays x primitives) intermediate footprint; multi-chip sharding
+splits the same block axis across devices (parallel/sharding.py) with zero
+hot-loop collectives.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from .models.geometry import Scene
+from .ops import rng as rng_ops
+from .ops.accumulate import accumulate
+from .ops.camera import Camera, focus_points, generate_rays
+from .ops.intersect import HitRecord
+from .ops.trace import trace
+from .utils.config import RenderConfig
+
+
+def _resolve_intersector(
+    scene: Scene, cfg: RenderConfig
+) -> Callable[..., HitRecord] | None:
+    if cfg.intersector == "auto":
+        if scene.tri_bvh is not None or scene.sphere_bvh is not None:
+            from .accel.bvh import closest_hit_bvh
+
+            return closest_hit_bvh
+        return None  # trace() defaults to brute force
+    if cfg.intersector == "bruteforce":
+        return None
+    if cfg.intersector == "bvh":
+        from .accel.bvh import closest_hit_bvh
+
+        return closest_hit_bvh
+    if cfg.intersector == "pallas":
+        from .kernels.wavefront import closest_hit_pallas
+
+        return closest_hit_pallas
+    raise ValueError(f"unknown intersector {cfg.intersector!r}")
+
+
+def render_block(
+    scene: Scene,
+    camera: Camera,
+    cfg: RenderConfig,
+    frame,
+    pix_idx,
+    intersect_fn=None,
+):
+    """Render one flat block of pixels -> (B, 3) linear radiance.
+
+    ``pix_idx`` is (B,) int32 global pixel index (y * width + x, row 0 at the
+    bottom). Out-of-range padding indices are rendered (their rays are valid,
+    just redundant) and discarded by the caller - cheaper than masking inside
+    the hot loop.
+    """
+    width = cfg.width
+    pix_idx = pix_idx.astype(jnp.int32)
+    x = pix_idx % width
+    y = pix_idx // width
+    state = rng_ops.seed(pix_idx, frame)
+    fp = focus_points(camera, x, y, width, cfg.height)
+
+    def spp_body(_, carry):
+        state, total = carry
+        state, origin, direction = generate_rays(state, camera, fp, width)
+        state, light = trace(
+            state,
+            origin,
+            direction,
+            scene,
+            cfg.max_bounce,
+            intersect_fn=intersect_fn,
+        )
+        return state, total + light
+
+    init = (state, jnp.zeros((pix_idx.shape[0], 3), jnp.float32))
+    _, total = lax.fori_loop(0, cfg.spp, spp_body, init)
+    return total / jnp.float32(cfg.spp)
+
+
+def _padded_pixel_blocks(cfg: RenderConfig):
+    """Static (nb, block) pixel-index grid covering the padded image."""
+    import numpy as np
+
+    n = cfg.num_pixels
+    block = min(cfg.block_size, _round_up(n, 256))
+    n_pad = _round_up(n, block)
+    idx = np.arange(n_pad, dtype=np.int32)
+    # Clamp padding lanes to the last real pixel: valid geometry, discarded.
+    idx = np.minimum(idx, n - 1)
+    return idx.reshape(n_pad // block, block)
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def render_frame(scene: Scene, camera: Camera, cfg: RenderConfig, frame):
+    """Render one full frame -> (H, W, 3) f32 linear radiance.
+
+    ``frame`` is a traced uint32 scalar (progressive accumulation advances it
+    without recompiling). Row 0 of the output is the image BOTTOM.
+    """
+    blocks = jnp.asarray(_padded_pixel_blocks(cfg))
+    intersect_fn = _resolve_intersector(scene, cfg)
+
+    def run(block_idx):
+        return render_block(
+            scene, camera, cfg, frame, block_idx, intersect_fn=intersect_fn
+        )
+
+    if blocks.shape[0] == 1:
+        flat = run(blocks[0])
+    else:
+        flat = lax.map(run, blocks).reshape(-1, 3)
+    flat = flat[: cfg.num_pixels]
+    return flat.reshape(cfg.height, cfg.width, 3)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",), donate_argnums=(3,))
+def render_and_accumulate(
+    scene: Scene, camera: Camera, cfg: RenderConfig, accum, frame
+):
+    """One progressive step: render frame ``frame`` and fold it into the
+    running average (the Blit-accumulate-Blit sequence of
+    RayTracingManager.cs:69-84, fused on device; the accumulation buffer is
+    donated so the image never round-trips to host)."""
+    cur = render_frame(scene, camera, cfg, frame)
+    return accumulate(accum, cur, frame, clamp=cfg.clamp_accumulate)

@@ -1,0 +1,50 @@
+"""Render configuration: the TPU analog of the manager's inspector knobs.
+
+Mirrors the serialized settings at RayTracingManager.cs:12-17 plus framework
+knobs (block size, accumulation clamp mode). Static/hashable: these values
+select compiled programs (loop trip counts, shapes), so they are jit cache
+keys, unlike the traced Camera/Environment arrays.
+
+``validate()`` applies the reference's OnValidate clamps
+(RayTracingManager.cs:196-203).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+
+@dataclasses.dataclass(frozen=True)
+class RenderConfig:
+    width: int = 320
+    height: int = 180
+    # [Range(0, 32)] maxBounceCount, default 4 (RayTracingManager.cs:12).
+    max_bounce: int = 4
+    # [Range(0, 64)] numRaysPerPixel, default 2 (RayTracingManager.cs:13).
+    spp: int = 2
+    # Parity mode: reference's per-frame saturate in the accumulator
+    # (Accumulate.shader:50). False = HDR accumulation (extension).
+    clamp_accumulate: bool = True
+    # Pixels processed per device dispatch block; bounds the (rays x prims)
+    # intermediate footprint. Must be a multiple of 256 for lane alignment.
+    block_size: int = 32768
+    # Intersector selection: "auto" picks BVH when present else brute force.
+    intersector: str = "auto"
+
+    def validate(self) -> "RenderConfig":
+        """Clamp like OnValidate (RayTracingManager.cs:196-203) and check
+        framework invariants."""
+        cfg = dataclasses.replace(
+            self,
+            max_bounce=max(0, self.max_bounce),
+            spp=max(1, self.spp),
+        )
+        if cfg.width <= 0 or cfg.height <= 0:
+            raise ValueError("image dimensions must be positive")
+        if cfg.block_size % 256 != 0:
+            raise ValueError("block_size must be a multiple of 256")
+        return cfg
+
+    @property
+    def num_pixels(self) -> int:
+        return self.width * self.height
