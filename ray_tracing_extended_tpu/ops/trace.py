@@ -59,7 +59,10 @@ def trace(
         (defaults to the brute-force MXU scan; the chunk-culled and
         BVH variants slot in here).
 
-    Returns ``(state, incoming_light)`` with incoming_light (B, 3).
+    Returns ``(state, incoming_light, segments)`` with incoming_light (B, 3)
+    and segments (B,) int32 = number of rays actually traced per lane (each
+    scene intersection of a live lane counts one - the honest denominator
+    for Mrays/s).
     """
     if intersect_fn is None:
         intersect_fn = closest_hit_bruteforce
@@ -68,14 +71,16 @@ def trace(
     incoming = jnp.zeros((b, 3), jnp.float32)
     colour = jnp.ones((b, 3), jnp.float32)
     alive = jnp.ones((b,), bool)
+    segments = jnp.zeros((b,), jnp.int32)
     bounce0 = jnp.int32(0)
 
     def cond(carry):
-        bounce_idx, _, _, _, _, _, alive = carry
+        bounce_idx, _, _, _, _, _, alive, _ = carry
         return (bounce_idx <= max_bounce) & jnp.any(alive)
 
     def body(carry):
-        bounce_idx, state, o, d, incoming, colour, alive = carry
+        bounce_idx, state, o, d, incoming, colour, alive, segments = carry
+        segments = segments + alive.astype(jnp.int32)
         hit = intersect_fn(o, d, scene)
         did_hit = hit.hit & alive
         mat = scene.materials.take(hit.mat_idx)
@@ -126,8 +131,13 @@ def trace(
             incoming_next,
             colour_next,
             alive_next,
+            segments,
         )
 
-    carry = (bounce0, state, origin, direction, incoming, colour, alive)
-    _, state, _, _, incoming, _, _ = lax.while_loop(cond, body, carry)
-    return state, incoming
+    carry = (
+        bounce0, state, origin, direction, incoming, colour, alive, segments
+    )
+    _, state, _, _, incoming, _, _, segments = lax.while_loop(
+        cond, body, carry
+    )
+    return state, incoming, segments

@@ -1,0 +1,156 @@
+"""Multi-chip rendering: image-tile and spp sharding over a JAX device mesh.
+
+The reference's only parallelism is per-pixel SIMT on one GPU
+(Graphics.Blit, RayTracingManager.cs:76; SURVEY.md section 2.5). The
+TPU-native scale-out axes are:
+
+  * ``tiles`` - pixel-block data parallelism: the flattened, padded pixel
+    blocks (see render.py) are sharded across chips; the scene (the analog of
+    structured buffers bound to every GPU wavefront) is replicated. Zero
+    collectives in the hot loop - embarrassingly parallel, rides nothing but
+    the final host gather (or stays sharded for on-device accumulation).
+
+  * ``spp`` - sample parallelism: every chip renders the full image with a
+    different frame seed, and one ``pmean`` over ICI merges them - the
+    multi-chip generalization of the reference's accumulate pass
+    (Accumulate.shader:48-50). This is the ONLY collective in the system.
+
+Both compose in a single 2D mesh: ``Mesh(devices, ('spp', 'tiles'))``. A
+progressive multi-chip render keeps the accumulation buffer sharded over
+'tiles' and steps frames by ``spp_size`` per call, so the running average is
+bit-equivalent to the single-chip sequence over the same frame indices.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax import shard_map
+
+from ..models.geometry import Scene
+from ..ops.accumulate import accumulate
+from ..ops.camera import Camera
+from ..render import _padded_pixel_blocks, _resolve_intersector, render_block
+from ..utils.config import RenderConfig
+
+
+def make_mesh(
+    devices: Sequence[jax.Device] | None = None,
+    spp_parallel: int = 1,
+) -> Mesh:
+    """Build a 2D ('spp', 'tiles') mesh over the given (default: all)
+    devices. ``spp_parallel`` chips cooperate per pixel; the rest shard
+    tiles."""
+    devices = list(devices if devices is not None else jax.devices())
+    n = len(devices)
+    if n % spp_parallel != 0:
+        raise ValueError(
+            f"spp_parallel={spp_parallel} does not divide device count {n}"
+        )
+    arr = np.array(devices).reshape(spp_parallel, n // spp_parallel)
+    return Mesh(arr, ("spp", "tiles"))
+
+
+def _blocks_for_mesh(cfg: RenderConfig, n_tiles: int) -> np.ndarray:
+    """Pixel blocks padded so the block axis divides the tile axis."""
+    blocks = _padded_pixel_blocks(cfg)
+    nb = blocks.shape[0]
+    pad = (-nb) % n_tiles
+    if pad:
+        blocks = np.concatenate([blocks, np.tile(blocks[-1:], (pad, 1))])
+    return blocks
+
+
+@functools.partial(
+    jax.jit, static_argnames=("cfg", "mesh"), donate_argnums=(3,)
+)
+def render_step_sharded(
+    scene: Scene,
+    camera: Camera,
+    cfg: RenderConfig,
+    accum,
+    frame,
+    mesh: Mesh,
+):
+    """One multi-chip progressive step.
+
+    Renders ``spp_size`` frames' worth of samples in one launch (each 'spp'
+    row of the mesh uses frame index ``frame + row``), tile-sharded within
+    each row, then folds the merged sample mean into the running average
+    ``accum`` (donated). Returns the new accumulation image, laid out with
+    rows sharded over 'tiles' so progressive loops never gather to host.
+
+    The running average stays EXACTLY the reference's weighting
+    (Accumulate.shader:48): merging k frames with equal weight then folding
+    with weight k/(frame+k) equals folding them one at a time.
+    """
+    spp_size = mesh.shape["spp"]
+    n_tiles = mesh.shape["tiles"]
+    blocks = jnp.asarray(_blocks_for_mesh(cfg, n_tiles))
+    intersect_fn = _resolve_intersector(scene, cfg)
+
+    def shard_fn(blocks_local, accum_local, frame):
+        # blocks_local: (nb/n_tiles, B); one spp row + one tile column each.
+        row = lax.axis_index("spp").astype(jnp.uint32)
+        my_frame = frame + row
+
+        def run(block_idx):
+            img, _ = render_block(
+                scene, camera, cfg, my_frame, block_idx,
+                intersect_fn=intersect_fn,
+            )
+            return img
+
+        flat = lax.map(run, blocks_local)  # (nb_local, B, 3)
+        # THE one collective: average the spp rows' samples over ICI.
+        flat = lax.pmean(flat, axis_name="spp")
+        # Fold k = spp_size frames into the running average at once:
+        # weight = k / (frame + k).
+        k = jnp.float32(spp_size)
+        w = k / (jnp.asarray(frame, jnp.float32) + k)
+        out = accum_local * (1.0 - w) + flat * w
+        if cfg.clamp_accumulate:
+            out = jnp.clip(out, 0.0, 1.0)
+        return out
+
+    out = shard_map(
+        shard_fn,
+        mesh=mesh,
+        in_specs=(P("tiles"), P("tiles"), P()),
+        out_specs=P("tiles"),
+        check_vma=False,
+    )(blocks, accum, frame)
+    return out
+
+
+def init_accum_blocks(cfg: RenderConfig, mesh: Mesh):
+    """Zero accumulation buffer in sharded block layout (nb, B, 3), placed
+    with blocks sharded over 'tiles' and replicated over 'spp'."""
+    blocks = _blocks_for_mesh(cfg, mesh.shape["tiles"])
+    z = jnp.zeros((blocks.shape[0], blocks.shape[1], 3), jnp.float32)
+    sharding = NamedSharding(mesh, P("tiles"))
+    return jax.device_put(z, sharding)
+
+
+def blocks_to_image(accum_blocks, cfg: RenderConfig):
+    """Gather the sharded block layout back into an (H, W, 3) image."""
+    flat = jnp.reshape(accum_blocks, (-1, 3))[: cfg.num_pixels]
+    return np.asarray(flat).reshape(cfg.height, cfg.width, 3)
+
+
+def render_frame_sharded(
+    scene: Scene, camera: Camera, cfg: RenderConfig, frame, mesh: Mesh
+):
+    """Single frame, tile-sharded (no accumulation): convenience wrapper
+    returning the (H, W, 3) image."""
+    accum = init_accum_blocks(cfg, mesh)
+    out = render_step_sharded(
+        scene, camera, cfg, accum, jnp.uint32(frame) * mesh.shape["spp"], mesh
+    )
+    return blocks_to_image(out, cfg)

@@ -75,9 +75,9 @@ def render_block(
     fp = focus_points(camera, x, y, width, cfg.height)
 
     def spp_body(_, carry):
-        state, total = carry
+        state, total, segs = carry
         state, origin, direction = generate_rays(state, camera, fp, width)
-        state, light = trace(
+        state, light, s = trace(
             state,
             origin,
             direction,
@@ -85,11 +85,15 @@ def render_block(
             cfg.max_bounce,
             intersect_fn=intersect_fn,
         )
-        return state, total + light
+        return state, total + light, segs + s
 
-    init = (state, jnp.zeros((pix_idx.shape[0], 3), jnp.float32))
-    _, total = lax.fori_loop(0, cfg.spp, spp_body, init)
-    return total / jnp.float32(cfg.spp)
+    init = (
+        state,
+        jnp.zeros((pix_idx.shape[0], 3), jnp.float32),
+        jnp.zeros((pix_idx.shape[0],), jnp.int32),
+    )
+    _, total, segs = lax.fori_loop(0, cfg.spp, spp_body, init)
+    return total / jnp.float32(cfg.spp), segs
 
 
 def _padded_pixel_blocks(cfg: RenderConfig):
@@ -110,8 +114,11 @@ def _round_up(x: int, m: int) -> int:
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
-def render_frame(scene: Scene, camera: Camera, cfg: RenderConfig, frame):
-    """Render one full frame -> (H, W, 3) f32 linear radiance.
+def render_frame_with_stats(
+    scene: Scene, camera: Camera, cfg: RenderConfig, frame
+):
+    """Render one full frame -> ((H, W, 3) f32 linear radiance, total ray
+    segments traced (uint32 scalar) - the Mrays/s numerator).
 
     ``frame`` is a traced uint32 scalar (progressive accumulation advances it
     without recompiling). Row 0 of the output is the image BOTTOM.
@@ -120,16 +127,27 @@ def render_frame(scene: Scene, camera: Camera, cfg: RenderConfig, frame):
     intersect_fn = _resolve_intersector(scene, cfg)
 
     def run(block_idx):
-        return render_block(
+        img, segs = render_block(
             scene, camera, cfg, frame, block_idx, intersect_fn=intersect_fn
         )
+        return img, jnp.sum(segs, dtype=jnp.uint32)
 
     if blocks.shape[0] == 1:
-        flat = run(blocks[0])
+        flat, segs = run(blocks[0])
+        total_segs = segs
     else:
-        flat = lax.map(run, blocks).reshape(-1, 3)
+        flat, segs = lax.map(run, blocks)
+        flat = flat.reshape(-1, 3)
+        total_segs = jnp.sum(segs, dtype=jnp.uint32)
     flat = flat[: cfg.num_pixels]
-    return flat.reshape(cfg.height, cfg.width, 3)
+    return flat.reshape(cfg.height, cfg.width, 3), total_segs
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def render_frame(scene: Scene, camera: Camera, cfg: RenderConfig, frame):
+    """Render one full frame -> (H, W, 3) f32 linear radiance."""
+    img, _ = render_frame_with_stats(scene, camera, cfg, frame)
+    return img
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",), donate_argnums=(3,))

@@ -1,12 +1,13 @@
 """Test harness config: force CPU with 8 virtual devices so sharding tests
 exercise a multi-chip mesh exactly as on a TPU slice (standard JAX practice;
-see SURVEY.md section 4)."""
+see SURVEY.md section 4).
 
-import os
+NOTE: this environment pre-imports jax via sitecustomize with
+``JAX_PLATFORMS=axon`` (the TPU tunnel), so env vars are too late - the
+platform must be overridden through jax.config before any backend is
+touched."""
 
-os.environ["JAX_PLATFORMS"] = "cpu"
-_flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in _flags:
-    os.environ["XLA_FLAGS"] = (
-        _flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 8)
