@@ -202,3 +202,5 @@ class Scene:
     # Optional acceleration structures (None => brute force / chunk scan).
     tri_bvh: BVH | None = None
     sphere_bvh: BVH | None = None
+    # Cluster-packed tables for the Pallas intersector (kernels/pack.py).
+    packed: object | None = None

@@ -286,7 +286,7 @@ class SceneBuilder:
                 sentinel=s,
             )
 
-        return Scene(
+        scene = Scene(
             spheres=spheres,
             triangles=triangles,
             chunks=chunks,
@@ -295,6 +295,11 @@ class SceneBuilder:
             tri_bvh=tri_bvh,
             sphere_bvh=sphere_bvh,
         )
+        # Attach the cluster-packed tables for the Pallas intersector.
+        from ..kernels.pack import pack_scene
+
+        scene = dataclasses.replace(scene, packed=pack_scene(scene))
+        return scene
 
 
 def _vertex_normals(vertices: np.ndarray, indices: np.ndarray) -> np.ndarray:

@@ -81,7 +81,16 @@ def trace(
     def body(carry):
         bounce_idx, state, o, d, incoming, colour, alive, segments = carry
         segments = segments + alive.astype(jnp.int32)
-        hit = intersect_fn(o, d, scene)
+        # Park dead lanes far outside every scene bound, pointing away: the
+        # tile-level cluster culls in the Pallas intersector then skip them
+        # entirely (a compaction-free way to stop paying for dead rays).
+        o_live = jnp.where(alive[..., None], o, jnp.float32(1.0e9))
+        d_live = jnp.where(
+            alive[..., None],
+            d,
+            jnp.asarray([1.0, 0.0, 0.0], jnp.float32),
+        )
+        hit = intersect_fn(o_live, d_live, scene)
         did_hit = hit.hit & alive
         mat = scene.materials.take(hit.mat_idx)
 
