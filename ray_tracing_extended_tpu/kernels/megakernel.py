@@ -1,0 +1,783 @@
+"""Pallas TPU megakernel: the ENTIRE per-pixel path trace in one kernel.
+
+The reference's fragment shader is a megakernel: seed RNG, generate jittered
+camera rays, loop bounces with scatter/Russian-roulette, accumulate
+(RayTracing.shader:356-389). This kernel is its TPU re-design: one grid
+program traces a TILE of pixels start-to-finish with every intermediate in
+VMEM/registers. Per-frame HBM traffic is just the 16 B/pixel output - the
+pure-XLA path materializes ~10 KB/ray/bounce and pays per-bounce gather and
+dispatch overheads that dominated the frame time (measured: 2.8 ms per
+32k-ray bounce at XLA level vs ~0.1 ms here).
+
+Layout rules (all lane-major, zero transposes):
+  * per-ray state: (TILE/128, 128) f32/u32 component arrays (one ray per
+    VPU lane);
+  * intersection: sub-clusters of 32 Morton-ordered primitives; a pair block
+    is (32 prims on sublanes) x (128 rays on lanes), built by broadcasting a
+    (32, 1) parameter column (lane-dim slice of the packed (SUB, 8) cluster
+    table - free) against a (1, 128) ray row (sublane slice - free);
+  * per-sub-cluster AABB culls on the whole tile with ``lax.cond`` skipping
+    unreachable clusters (the per-tile lift of RayTracing.shader:279-281);
+    dead rays are parked at +1e9 pointing away so finished lanes never
+    trigger cluster visits;
+  * material/geometry fetch: ONE one-hot MXU contraction per ray row -
+    (FETCH_ROWS, n_slots) @ (n_slots, 128) - instead of 17 XLA gathers.
+
+Semantics: full Trace parity (checker / invisible-light flags, specular
+lottery, cosine scatter, Russian roulette order and draw counts, env light,
+the dielectric extension) with one documented deviation: Mosaic cannot cast
+uint32->f32 directly, so RandomValue uses a two's-complement fixup that
+differs from XLA's rounding by <= 1 ulp on ~8% of draws - statistically
+irrelevant (golden tests compare against the XLA path within MC tolerance).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..models.geometry import (
+    FLAG_CHECKER,
+    FLAG_DIELECTRIC,
+    FLAG_INVISIBLE_LIGHT,
+    Scene,
+)
+from ..utils.config import RenderConfig
+from .pack import FETCH_ROWS, SUB
+
+# Square screen tiles: each grid program owns a TS x TS pixel block, so the
+# tile's ray frustum is spatially compact and the per-tile cluster culls
+# actually skip geometry (a row-major pixel strip spans half the image and
+# defeats culling). Tile size balances per-program overhead (measured
+# ~12 us/program on this stack -> fewer, bigger programs) against culling
+# selectivity and VMEM.
+TS = 64
+TILE = TS * TS
+LANES = 128
+ROWS = TILE // LANES
+
+_INF = np.float32(np.inf)
+_DET_EPS = np.float32(1e-6)
+_U = lambda x: jnp.uint32(x)
+
+# ------------------------- in-kernel RNG (PCG) ------------------------------
+
+
+def _pcg(state):
+    """RayTracing.shader:193-199 on uint32 arrays."""
+    state = state * _U(747796405) + _U(2891336453)
+    shift = (state >> _U(28)) + _U(4)
+    r = ((state >> shift) ^ state) * _U(277803737)
+    return state, (r >> _U(22)) ^ r
+
+
+def _u32_to_f32(v):
+    s = pltpu.bitcast(v, jnp.int32)
+    f = s.astype(jnp.float32)
+    return jnp.where(s < 0, f + np.float32(4294967296.0), f)
+
+
+def _rand(state):
+    state, bits = _pcg(state)
+    return state, _u32_to_f32(bits) * np.float32(1.0 / 4294967295.0)
+
+
+def _rand_normal(state):
+    state, r1 = _rand(state)
+    state, r2 = _rand(state)
+    theta = np.float32(2.0 * 3.1415926) * r1
+    rho = jnp.sqrt(np.float32(-2.0) * jnp.log(r2))
+    return state, rho * jnp.cos(theta)
+
+
+def _rand_unit3(state):
+    state, x = _rand_normal(state)
+    state, y = _rand_normal(state)
+    state, z = _rand_normal(state)
+    inv = lax.rsqrt(x * x + y * y + z * z)
+    return state, x * inv, y * inv, z * inv
+
+
+def _rand_circle(state):
+    state, r1 = _rand(state)
+    ang = r1 * np.float32(2.0 * 3.1415)
+    state, r2 = _rand(state)
+    rad = jnp.sqrt(r2)
+    return state, jnp.cos(ang) * rad, jnp.sin(ang) * rad
+
+
+def _norm3(x, y, z):
+    inv = lax.rsqrt(x * x + y * y + z * z)
+    return x * inv, y * inv, z * inv
+
+
+# --------------------------------- kernel -----------------------------------
+
+
+def _render_kernel(
+    ip_ref,  # SMEM int32 (2,): [frame, n_pix]
+    fp_ref,  # SMEM f32 (32,): camera + environment params
+    sph_bounds_ref,  # (NSs, 8)
+    sph_cols_ref,  # (NSs, SUB, 8): cx, cy, cz, r, r2, pad3
+    tri_bounds_ref,  # (NSt, 8)
+    tri_cols_ref,  # (NSt, SUB, 16): pa3, eab3, eac3, n3
+    fetch_ref,  # (FETCH_ROWS, n_slots)
+    out_r_ref,  # (ROWS, 128) f32
+    out_g_ref,
+    out_b_ref,
+    out_segs_ref,  # (ROWS, 128) int32
+    best_t_ref,  # VMEM scratch (ROWS, 128) f32
+    best_code_ref,  # VMEM scratch (ROWS, 128) f32
+    *,
+    spp: int,
+    max_bounce: int,
+    width: int,
+    height: int,
+    nss: int,
+    nst: int,
+    n_slots: int,
+    features: tuple = (),
+    use_cull: bool = True,
+    stub_fetch: bool = False,
+    stub_intersect: bool = False,
+):
+    pid = pl.program_id(0)
+    sub_i = lax.broadcasted_iota(jnp.int32, (ROWS, LANES), 0)
+    lane = lax.broadcasted_iota(jnp.int32, (ROWS, LANES), 1)
+    # Layout-anchored zeros: splat-constant loop-carry inits trigger a
+    # Mosaic relayout bug ({0,0} -> {*,*} on scf yields); deriving them
+    # from an iota pins a concrete layout.
+    zero_i = lane * 0
+    zero_f = lane.astype(jnp.float32) * 0.0
+    # Square-tile pixel mapping: pid -> (tile_x, tile_y); lane order is
+    # row-major inside the TS x TS tile. Edge tiles clamp to the image and
+    # re-render border pixels (cropped by the launcher).
+    n_tx = -(-width // TS)
+    t_x = pid % n_tx
+    t_y = pid // n_tx
+    local = sub_i * LANES + lane
+    x = jnp.minimum(t_x * TS + local % TS, width - 1)
+    y = jnp.minimum(t_y * TS + local // TS, height - 1)
+    pix = y * width + x
+
+    frame = ip_ref[0]
+    # int32 multiply/add wrap identically to uint32; one array bitcast at
+    # the end (RayTracing.shader:358-362 seed layout).
+    seed = pltpu.bitcast(pix + frame * 719393, jnp.uint32)
+
+    # camera params (fp layout documented in _run)
+    cam0, cam1, cam2 = fp_ref[0], fp_ref[1], fp_ref[2]
+    r00, r01, r02 = fp_ref[3], fp_ref[4], fp_ref[5]
+    r10, r11, r12 = fp_ref[6], fp_ref[7], fp_ref[8]
+    r20, r21, r22 = fp_ref[9], fp_ref[10], fp_ref[11]
+    plane_w, plane_h, focus = fp_ref[12], fp_ref[13], fp_ref[14]
+    defocus_w, diverge_w = fp_ref[15], fp_ref[16]
+    env_on = fp_ref[17]
+    gr0, gr1, gr2 = fp_ref[18], fp_ref[19], fp_ref[20]
+    hz0, hz1, hz2 = fp_ref[21], fp_ref[22], fp_ref[23]
+    zn0, zn1, zn2 = fp_ref[24], fp_ref[25], fp_ref[26]
+    sun_focus, sun_int = fp_ref[27], fp_ref[28]
+    sd0, sd1, sd2 = fp_ref[29], fp_ref[30], fp_ref[31]
+
+    u = (x.astype(jnp.float32) + 0.5) * np.float32(1.0 / width)
+    v = (y.astype(jnp.float32) + 0.5) * np.float32(1.0 / height)
+    lx = (u - 0.5) * plane_w
+    ly = (v - 0.5) * plane_h
+    # focus point = cam + R @ (lx, ly, focus)   (RayTracing.shader:365-366)
+    fpx = cam0 + r00 * lx + r01 * ly + r02 * focus
+    fpy = cam1 + r10 * lx + r11 * ly + r12 * focus
+    fpz = cam2 + r20 * lx + r21 * ly + r22 * focus
+
+    slots_iota = lax.broadcasted_iota(
+        jnp.int32, (n_slots, LANES), 0
+    ).astype(jnp.float32)
+
+    def environment(dx, dy, dz):
+        """GetEnvironmentLight (RayTracing.shader:238-251). Scene-feature
+        flags compile out the whole term (env off) or the sun pow."""
+        if "env" not in features:
+            return zero_f, zero_f, zero_f
+        t = jnp.clip(dy * np.float32(1.0 / 0.4), 0.0, 1.0)
+        sky_t = jnp.power(t * t * (3.0 - 2.0 * t), np.float32(0.35))
+        tg = jnp.clip((dy + 0.01) * np.float32(100.0), 0.0, 1.0)
+        ground_t = tg * tg * (3.0 - 2.0 * tg)
+        if "sun" in features:
+            sun = (
+                jnp.power(
+                    jnp.maximum(dx * sd0 + dy * sd1 + dz * sd2, 0.0),
+                    sun_focus,
+                )
+                * sun_int
+            ) * (ground_t >= 1.0).astype(jnp.float32)
+        else:
+            sun = zero_f
+        er = gr0 + (hz0 + (zn0 - hz0) * sky_t - gr0) * ground_t + sun
+        eg = gr1 + (hz1 + (zn1 - hz1) * sky_t - gr1) * ground_t + sun
+        eb = gr2 + (hz2 + (zn2 - hz2) * sky_t - gr2) * ground_t + sun
+        return er, eg, eb
+
+    def intersect(ox, oy, oz, dx, dy, dz):
+        """Cluster-culled closest hit -> (t, code) each (ROWS, 128).
+
+        The running best lives in VMEM scratch refs and clusters are gated
+        with ``pl.when``: unlike ``lax.cond`` (which Mosaic predicates -
+        both arms execute), a side-effecting scf.if genuinely branches, so
+        a skipped cluster costs only its 6-scalar slab test.
+        """
+        inv_dx, inv_dy, inv_dz = 1.0 / dx, 1.0 / dy, 1.0 / dz
+        best_t_ref[...] = zero_f + _INF
+        best_code_ref[...] = zero_f
+
+        def tile_hits(bounds_ref, c):
+            best_t = best_t_ref[...]
+            t0x = (bounds_ref[c, 0] - ox) * inv_dx
+            t1x = (bounds_ref[c, 3] - ox) * inv_dx
+            t0y = (bounds_ref[c, 1] - oy) * inv_dy
+            t1y = (bounds_ref[c, 4] - oy) * inv_dy
+            t0z = (bounds_ref[c, 2] - oz) * inv_dz
+            t1z = (bounds_ref[c, 5] - oz) * inv_dz
+            tn = jnp.maximum(
+                jnp.maximum(jnp.minimum(t0x, t1x), jnp.minimum(t0y, t1y)),
+                jnp.minimum(t0z, t1z),
+            )
+            tf = jnp.minimum(
+                jnp.minimum(jnp.maximum(t0x, t1x), jnp.maximum(t0y, t1y)),
+                jnp.maximum(t0z, t1z),
+            )
+            return jnp.any((tf >= 0.0) & (tn <= jnp.minimum(tf, best_t)))
+
+        def fold_row(g, t_min, code_new):
+            old_t = best_t_ref[g : g + 1, :]
+            old_c = best_code_ref[g : g + 1, :]
+            better = t_min < old_t
+            best_t_ref[g : g + 1, :] = jnp.where(better, t_min, old_t)
+            best_code_ref[g : g + 1, :] = jnp.where(better, code_new, old_c)
+
+        def sphere_cluster(c, carry):
+            pred = tile_hits(sph_bounds_ref, c) if use_cull else None
+
+            def visit():
+                cols = sph_cols_ref[c]  # (SUB, 8)
+                cx = cols[:, 0:1]
+                cy = cols[:, 1:2]
+                cz = cols[:, 2:3]
+                r = cols[:, 3:4]
+                r2 = cols[:, 4:5]
+                sub_iota = lax.broadcasted_iota(
+                    jnp.int32, (SUB, LANES), 0
+                ).astype(jnp.float32)
+                for g in range(ROWS):
+                    ocx = ox[g : g + 1, :] - cx  # (SUB, 128)
+                    ocy = oy[g : g + 1, :] - cy
+                    ocz = oz[g : g + 1, :] - cz
+                    b = (
+                        ocx * dx[g : g + 1, :]
+                        + ocy * dy[g : g + 1, :]
+                        + ocz * dz[g : g + 1, :]
+                    )
+                    cc = ocx * ocx + ocy * ocy + ocz * ocz - r2
+                    disc = b * b - cc
+                    tq = -b - jnp.sqrt(jnp.maximum(disc, 0.0))
+                    valid = (disc >= 0.0) & (tq >= 0.0) & (r > 0.0)
+                    t_pair = jnp.where(valid, tq, _INF)
+                    t_min = jnp.min(t_pair, axis=0, keepdims=True)
+                    amin = jnp.min(
+                        jnp.where(t_pair <= t_min, sub_iota, float(SUB)),
+                        axis=0,
+                        keepdims=True,
+                    )
+                    fold_row(g, t_min, amin + (c * SUB).astype(jnp.float32))
+
+            if use_cull:
+                pl.when(pred)(visit)
+            else:
+                visit()
+            return carry
+
+        lax.fori_loop(0, nss, sphere_cluster, jnp.int32(0))
+
+        def tri_cluster(c, carry):
+            pred = tile_hits(tri_bounds_ref, c) if use_cull else None
+
+            def visit():
+                cols = tri_cols_ref[c]  # (SUB, 16)
+                pax, pay, paz = cols[:, 0:1], cols[:, 1:2], cols[:, 2:3]
+                ex1, ey1, ez1 = cols[:, 3:4], cols[:, 4:5], cols[:, 5:6]
+                ex2, ey2, ez2 = cols[:, 6:7], cols[:, 7:8], cols[:, 8:9]
+                nx, ny, nz = cols[:, 9:10], cols[:, 10:11], cols[:, 11:12]
+                sub_iota = lax.broadcasted_iota(
+                    jnp.int32, (SUB, LANES), 0
+                ).astype(jnp.float32)
+                for g in range(ROWS):
+                    gdx = dx[g : g + 1, :]
+                    gdy = dy[g : g + 1, :]
+                    gdz = dz[g : g + 1, :]
+                    aox = ox[g : g + 1, :] - pax
+                    aoy = oy[g : g + 1, :] - pay
+                    aoz = oz[g : g + 1, :] - paz
+                    daox = aoy * gdz - aoz * gdy
+                    daoy = aoz * gdx - aox * gdz
+                    daoz = aox * gdy - aoy * gdx
+                    det = -(gdx * nx + gdy * ny + gdz * nz)
+                    t_det = aox * nx + aoy * ny + aoz * nz
+                    u_det = ex2 * daox + ey2 * daoy + ez2 * daoz
+                    v_det = -(ex1 * daox + ey1 * daoy + ez1 * daoz)
+                    w_det = det - u_det - v_det
+                    hit = (
+                        (det >= _DET_EPS)
+                        & (t_det >= 0.0)
+                        & (u_det >= 0.0)
+                        & (v_det >= 0.0)
+                        & (w_det >= 0.0)
+                    )
+                    tq = t_det / jnp.where(det >= _DET_EPS, det, 1.0)
+                    t_pair = jnp.where(hit, tq, _INF)
+                    t_min = jnp.min(t_pair, axis=0, keepdims=True)
+                    amin = jnp.min(
+                        jnp.where(t_pair <= t_min, sub_iota, float(SUB)),
+                        axis=0,
+                        keepdims=True,
+                    )
+                    fold_row(
+                        g, t_min,
+                        amin + (nss * SUB + c * SUB).astype(jnp.float32),
+                    )
+
+            if use_cull:
+                pl.when(pred)(visit)
+            else:
+                visit()
+            return carry
+
+        if "tris" in features:
+            lax.fori_loop(0, nst, tri_cluster, jnp.int32(0))
+        return best_t_ref[...], best_code_ref[...]
+
+    def fetch(code):
+        if stub_fetch:
+            return lambda i: zero_f + np.float32(0.1 + 0.01 * i)
+        """One-hot MXU fetch of (FETCH_ROWS,) per-ray rows -> dict of
+        (ROWS, 128) field arrays."""
+        rows = []
+        for g in range(ROWS):
+            onehot = (slots_iota == code[g : g + 1, :]).astype(jnp.float32)
+            rows.append(
+                jax.lax.dot_general(
+                    fetch_ref[:],
+                    onehot,
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )  # (FETCH_ROWS, 128)
+            )
+
+        def field(i):
+            return jnp.concatenate(
+                [rows[g][i : i + 1, :] for g in range(ROWS)], axis=0
+            )
+
+        return field
+
+    def trace_one_sample(state, ox, oy, oz, dx, dy, dz, segs):
+        """Masked bounce loop (Trace, RayTracing.shader:300-352).
+
+        No explicit alive mask is carried: a dead lane's throughput is
+        zeroed (miss / Russian-roulette kill), and liveness is re-derived
+        as ``any colour channel > 0`` - legit because a lane whose
+        throughput is exactly black cannot contribute and the reference
+        would have RR-killed it too (survive prob = max channel = 0).
+        Carrying a self-referential mask through the loop trips Mosaic
+        layout inference; the throughput encoding sidesteps it entirely.
+        """
+        inc_r = zero_f
+        inc_g = zero_f
+        inc_b = zero_f
+        col_r = zero_f + 1.0
+        col_g = zero_f + 1.0
+        col_b = zero_f + 1.0
+
+        def body2(bounce, c):
+            (state, ox, oy, oz, dx, dy, dz,
+             inc_r, inc_g, inc_b, col_r, col_g, col_b, segs) = c
+            # Dead lanes were PARKED by the previous iteration (origin at
+            # +1e9 pointing +x) and their throughput zeroed, so: they miss
+            # everything (t = inf), their env re-add contributes env * 0,
+            # and cluster culls skip them. No explicit liveness mask exists
+            # anywhere - Mosaic mishandles self-referential masked carries.
+            live = (col_r > 0.0) | (col_g > 0.0) | (col_b > 0.0)
+            segs = segs + jnp.where(live, zero_i + 1, zero_i)
+
+            if stub_intersect:
+                t, code = zero_f + 2.0, zero_f
+            else:
+                t, code = intersect(ox, oy, oz, dx, dy, dz)
+            hit = jnp.isfinite(t)
+            ts = jnp.where(jnp.isfinite(t), t, 0.0)
+            hpx = ox + dx * ts
+            hpy = oy + dy * ts
+            hpz = oz + dz * ts
+
+            f = fetch(code)
+            m_col_r, m_col_g, m_col_b = f(0), f(1), f(2)
+            m_em_r, m_em_g, m_em_b = f(3), f(4), f(5)
+            m_sp_r, m_sp_g, m_sp_b = f(6), f(7), f(8)
+            m_estr, m_smooth, m_sprob = f(9), f(10), f(11)
+            m_flag, m_ior, is_sph = f(12), f(13), f(14)
+
+            # ---- shading normal ----
+            scx, scy, scz = f(15), f(16), f(17)
+            nsx, nsy, nsz = _norm3(hpx - scx, hpy - scy, hpz - scz)
+            if "tris" in features:
+                pax, pay, paz = f(18), f(19), f(20)
+                ex1, ey1, ez1 = f(21), f(22), f(23)
+                ex2, ey2, ez2 = f(24), f(25), f(26)
+                gnx, gny, gnz = f(36), f(37), f(38)
+                aox, aoy, aoz = ox - pax, oy - pay, oz - paz
+                daox = aoy * dz - aoz * dy
+                daoy = aoz * dx - aox * dz
+                daoz = aox * dy - aoy * dx
+                det = -(dx * gnx + dy * gny + dz * gnz)
+                inv_det = 1.0 / jnp.where(det == 0.0, np.float32(1.0), det)
+                ub = (ex2 * daox + ey2 * daoy + ez2 * daoz) * inv_det
+                vb = -(ex1 * daox + ey1 * daoy + ez1 * daoz) * inv_det
+                wb = 1.0 - ub - vb
+                ntx = f(27) * wb + f(30) * ub + f(33) * vb
+                nty = f(28) * wb + f(31) * ub + f(34) * vb
+                ntz = f(29) * wb + f(32) * ub + f(35) * vb
+                ntx, nty, ntz = _norm3(ntx, nty, ntz)
+                nx = jnp.where(is_sph > 0.5, nsx, ntx)
+                ny = jnp.where(is_sph > 0.5, nsy, nty)
+                nz = jnp.where(is_sph > 0.5, nsz, ntz)
+            else:
+                nx, ny, nz = nsx, nsy, nsz
+
+            # ---- checker flag (RayTracing.shader:313-317) ----
+            if "checker" in features:
+                fx = jnp.floor(hpx)
+                fz = jnp.floor(hpz)
+                chx = fx - 2.0 * jnp.floor(fx * 0.5)
+                chz = fz - 2.0 * jnp.floor(fz * 0.5)
+                swap = (m_flag == np.float32(FLAG_CHECKER)) & (chx != chz)
+                base_r = jnp.where(swap, m_em_r, m_col_r)
+                base_g = jnp.where(swap, m_em_g, m_col_g)
+                base_b = jnp.where(swap, m_em_b, m_col_b)
+            else:
+                base_r, base_g, base_b = m_col_r, m_col_g, m_col_b
+
+            # ---- invisible light passthrough (RayTracing.shader:318-322)
+            # (zero_i + bounce) keeps the scalar comparison vector-anchored;
+            # a raw scalar-bool broadcast propagates a replicated layout into
+            # the alive carry and trips the Mosaic relayout bug.
+            if "invisible" in features and bounce == 0:
+                passthru = hit & (
+                    m_flag == np.float32(FLAG_INVISIBLE_LIGHT)
+                )
+            else:
+                passthru = zero_i > 0  # static False, layout-anchored
+            scattering = hit & ~passthru
+
+            # ---- scatter (RayTracing.shader:325-330) ----
+            state2, u_spec = _rand(state)
+            is_spec = (m_sprob >= u_spec).astype(jnp.float32)
+            state2, ux, uy, uz = _rand_unit3(state2)
+            ddx, ddy, ddz = _norm3(nx + ux, ny + uy, nz + uz)
+            dn = dx * nx + dy * ny + dz * nz
+            sxx = dx - 2.0 * dn * nx
+            sxy = dy - 2.0 * dn * ny
+            sxz = dz - 2.0 * dn * nz
+            lerp_t = m_smooth * is_spec
+            sdx, sdy, sdz = _norm3(
+                ddx + (sxx - ddx) * lerp_t,
+                ddy + (sxy - ddy) * lerp_t,
+                ddz + (sxz - ddz) * lerp_t,
+            )
+
+            # dielectric extension (ops/materials.py semantics) -
+            # compiled out entirely for scenes with no dielectric materials
+            if "dielectric" in features:
+                entering = dn < 0.0
+                sign = jnp.where(entering, 1.0, -1.0)
+                nex, ney, nez = nx * sign, ny * sign, nz * sign
+                eta = jnp.where(entering, 1.0 / m_ior, m_ior)
+                cos_t = jnp.minimum(-(dx * nex + dy * ney + dz * nez), 1.0)
+                sin_t = jnp.sqrt(jnp.maximum(1.0 - cos_t * cos_t, 0.0))
+                cannot = eta * sin_t > 1.0
+                r0 = (1.0 - eta) / (1.0 + eta)
+                r0 = r0 * r0
+                om = 1.0 - cos_t
+                om2 = om * om
+                schlick = r0 + (1.0 - r0) * om2 * om2 * om
+                refl = cannot | (schlick > u_spec)
+                rpx = eta * (dx + cos_t * nex)
+                rpy = eta * (dy + cos_t * ney)
+                rpz = eta * (dz + cos_t * nez)
+                k = jnp.sqrt(
+                    jnp.maximum(
+                        1.0 - (rpx * rpx + rpy * rpy + rpz * rpz), 0.0
+                    )
+                )
+                rfx = rpx - k * nex
+                rfy = rpy - k * ney
+                rfz = rpz - k * nez
+                den = dx * nex + dy * ney + dz * nez
+                glx = jnp.where(refl, dx - 2.0 * den * nex, rfx)
+                gly = jnp.where(refl, dy - 2.0 * den * ney, rfy)
+                glz = jnp.where(refl, dz - 2.0 * den * nez, rfz)
+                is_diel = m_flag == np.float32(FLAG_DIELECTRIC)
+                ndx = jnp.where(is_diel, glx, sdx)
+                ndy = jnp.where(is_diel, gly, sdy)
+                ndz = jnp.where(is_diel, glz, sdz)
+                d_eps = jnp.where(is_diel, np.float32(1e-4), 0.0)
+                is_spec = jnp.where(is_diel, 0.0, is_spec)
+            else:
+                ndx, ndy, ndz = sdx, sdy, sdz
+                d_eps = zero_f
+
+            # ---- light update (RayTracing.shader:333-335) ----
+            em = m_estr
+            inc_r2 = inc_r + m_em_r * em * col_r
+            inc_g2 = inc_g + m_em_g * em * col_g
+            inc_b2 = inc_b + m_em_b * em * col_b
+            cr2 = col_r * (base_r + (m_sp_r - base_r) * is_spec)
+            cg2 = col_g * (base_g + (m_sp_g - base_g) * is_spec)
+            cb2 = col_b * (base_b + (m_sp_b - base_b) * is_spec)
+
+            # ---- Russian roulette (RayTracing.shader:337-342) ----
+            p = jnp.maximum(cr2, jnp.maximum(cg2, cb2))
+            state2, u_rr = _rand(state2)
+            survive = u_rr < p
+            inv_p = 1.0 / jnp.maximum(p, np.float32(1e-30))
+
+            # ---- miss: environment ----
+            er, eg, eb = environment(dx, dy, dz)
+            missed = ~hit  # env re-adds on long-dead lanes multiply 0 colour
+
+            sc = scattering
+            # The RNG state only advances on scattering lanes (matching the
+            # shader's inout rngState). NOTE: a uint32 vector select trips a
+            # Mosaic relayout bug, so select arithmetically in uint32.
+            sel = pltpu.bitcast(jnp.where(sc, zero_i + 1, zero_i), jnp.uint32)
+            st_fix = state2 * sel + state * (_U(1) - sel)
+            ox2 = jnp.where(passthru, hpx + dx * 0.001,
+                            jnp.where(sc, hpx + ndx * d_eps, ox))
+            oy2 = jnp.where(passthru, hpy + dy * 0.001,
+                            jnp.where(sc, hpy + ndy * d_eps, oy))
+            oz2 = jnp.where(passthru, hpz + dz * 0.001,
+                            jnp.where(sc, hpz + ndz * d_eps, oz))
+            dx2 = jnp.where(sc, ndx, dx)
+            dy2 = jnp.where(sc, ndy, dy)
+            dz2 = jnp.where(sc, ndz, dz)
+            inc_r3 = jnp.where(sc, inc_r2,
+                               jnp.where(missed, inc_r + er * col_r, inc_r))
+            inc_g3 = jnp.where(sc, inc_g2,
+                               jnp.where(missed, inc_g + eg * col_g, inc_g))
+            inc_b3 = jnp.where(sc, inc_b2,
+                               jnp.where(missed, inc_b + eb * col_b, inc_b))
+            scs = sc & survive
+            # Death = zeroed throughput: lanes that missed, failed Russian
+            # roulette, or were already dead land in the zero branch.
+            # Arithmetic mask blend: a where-select on a self-referential
+            # carry (col -> live -> masks -> col) trips Mosaic layout
+            # inference; multiply-add of 0/1 masks compiles fine (same trick
+            # as the RNG state select above).
+            pass_f = jnp.where(passthru, zero_f + 1.0, zero_f)
+            scs_f = jnp.where(scs, zero_f + 1.0, zero_f)
+            boost_r = cr2 * inv_p
+            boost_g = cg2 * inv_p
+            boost_b = cb2 * inv_p
+            col_r2 = col_r * pass_f + boost_r * scs_f
+            col_g2 = col_g * pass_f + boost_g * scs_f
+            col_b2 = col_b * pass_f + boost_b * scs_f
+            # arithmetic parking: lanes that died this bounce (neither
+            # passthrough nor scatter+survive) move to +1e9 heading +x
+            live_f = pass_f + scs_f  # 0.0 or 1.0, disjoint masks
+            dead_f = 1.0 - live_f
+            ox2 = ox2 * live_f + np.float32(1.0e9) * dead_f
+            oy2 = oy2 * live_f + np.float32(1.0e9) * dead_f
+            oz2 = oz2 * live_f + np.float32(1.0e9) * dead_f
+            dx2 = dx2 * live_f + dead_f
+            dy2 = dy2 * live_f
+            dz2 = dz2 * live_f + np.float32(1e-9) * dead_f
+            return (
+                st_fix, ox2, oy2, oz2, dx2, dy2, dz2,
+                inc_r3, inc_g3, inc_b3, col_r2, col_g2, col_b2, segs,
+            )
+
+        carry = (
+            state, ox, oy, oz, dx, dy, dz,
+            inc_r, inc_g, inc_b, col_r, col_g, col_b, segs,
+        )
+        # Static unroll: scf loop carries of masked-updated vectors trip
+        # Mosaic layout inference ("invalid relayout" on yields); unrolled
+        # bounces have no carries at all. Bounce counts are <= 32
+        # (RayTracingManager.cs:12), and large-bounce scenes use the XLA
+        # path.
+        for bounce in range(max_bounce + 1):
+            carry = body2(bounce, carry)
+        out = carry
+        return out[0], out[7], out[8], out[9], out[13]
+
+    def spp_body(_, carry):
+        state, tr, tg, tb, segs = carry
+        state, cjx, cjy = _rand_circle(state)
+        cjx = cjx * defocus_w
+        cjy = cjy * defocus_w
+        # camRight = column 0 of R = (r00, r10, r20); camUp = column 1
+        # (RayTracing.shader:367-368).
+        ox = cam0 + r00 * cjx + r01 * cjy
+        oy = cam1 + r10 * cjx + r11 * cjy
+        oz = cam2 + r20 * cjx + r21 * cjy
+        state, jx, jy = _rand_circle(state)
+        jx = jx * diverge_w
+        jy = jy * diverge_w
+        tx = fpx + r00 * jx + r01 * jy
+        ty = fpy + r10 * jx + r11 * jy
+        tz = fpz + r20 * jx + r21 * jy
+        dx, dy, dz = _norm3(tx - ox, ty - oy, tz - oz)
+        state, ir, ig, ib, segs = trace_one_sample(
+            state, ox, oy, oz, dx, dy, dz, segs
+        )
+        return state, tr + ir, tg + ig, tb + ib, segs
+
+    init = (seed, zero_f, zero_f, zero_f, zero_i)
+    _, tr, tg, tb, segs = lax.fori_loop(0, spp, spp_body, init)
+    inv_spp = np.float32(1.0 / spp)
+    out_r_ref[:] = tr * inv_spp
+    out_g_ref[:] = tg * inv_spp
+    out_b_ref[:] = tb * inv_spp
+    out_segs_ref[:] = segs
+
+
+# ------------------------------- launcher -----------------------------------
+
+
+def mega_supported(scene: Scene, cfg: RenderConfig) -> bool:
+    p = scene.packed
+    if p is None:
+        return False
+    # VMEM budget: tables must fit comfortably alongside the ray state.
+    slots = p.fetch_tab.shape[1]
+    return slots <= 4096
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "interpret", "use_cull", "stub_fetch", "stub_intersect"))
+def render_frame_mega(
+    scene: Scene,
+    camera,
+    cfg: RenderConfig,
+    frame,
+    interpret: bool = False,
+    use_cull: bool = True,
+    stub_fetch: bool = False,
+    stub_intersect: bool = False,
+):
+    """Full-frame render via the megakernel.
+
+    Returns ((H, W, 3) f32, total live ray segments uint32). Bit-compatible
+    RNG layout with the XLA path (same seeds, same draw order); output
+    differs only by <=1-ulp RandomValue rounding (module docstring).
+    """
+    import math as _math
+
+    p = scene.packed
+    n_pix = cfg.num_pixels
+    n_tx = -(-cfg.width // TS)
+    n_ty = -(-cfg.height // TS)
+    n_tiles = n_tx * n_ty
+
+    half_fov = camera.fov_y_deg * np.float32(_math.pi / 360.0)
+    plane_h = camera.focus_distance * jnp.tan(half_fov) * 2.0
+    plane_w = plane_h * np.float32(cfg.width / cfg.height)
+    env = scene.env
+    fparams = jnp.concatenate(
+        [
+            camera.position,
+            camera.rotation.reshape(-1),
+            jnp.stack(
+                [
+                    plane_w,
+                    plane_h,
+                    camera.focus_distance,
+                    camera.defocus_strength / cfg.width,
+                    camera.diverge_strength / cfg.width,
+                    env.enabled,
+                ]
+            ),
+            env.ground_colour,
+            env.sky_colour_horizon,
+            env.sky_colour_zenith,
+            jnp.stack([env.sun_focus, env.sun_intensity]),
+            env.sun_dir,
+            jnp.zeros((4,), jnp.float32),
+        ]
+    ).astype(jnp.float32)
+    iparams = jnp.stack(
+        [jnp.asarray(frame, jnp.int32), jnp.int32(n_pix)]
+    )
+
+    kernel = functools.partial(
+        _render_kernel,
+        spp=cfg.spp,
+        max_bounce=cfg.max_bounce,
+        width=cfg.width,
+        height=cfg.height,
+        nss=p.n_sphere_subs,
+        nst=p.n_tri_subs,
+        n_slots=p.fetch_tab.shape[1],
+        features=p.features,
+        use_cull=use_cull,
+        stub_fetch=stub_fetch,
+        stub_intersect=stub_intersect,
+    )
+    full = lambda a: pl.BlockSpec(
+        a.shape, lambda i, ip, fp: tuple(0 for _ in a.shape),
+        memory_space=pltpu.VMEM,
+    )
+    out_spec = pl.BlockSpec(
+        (ROWS, LANES), lambda i, ip, fp: (i, 0), memory_space=pltpu.VMEM
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(n_tiles,),
+        in_specs=[
+            full(p.sph_sub_bounds),
+            full(p.sph_sub_cols),
+            full(p.tri_sub_bounds),
+            full(p.tri_sub_cols),
+            full(p.fetch_tab),
+        ],
+        out_specs=[out_spec, out_spec, out_spec, out_spec],
+        scratch_shapes=[
+            pltpu.VMEM((ROWS, LANES), jnp.float32),
+            pltpu.VMEM((ROWS, LANES), jnp.float32),
+        ],
+    )
+    r, g, b, segs = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((n_tiles * ROWS, LANES), jnp.float32),
+            jax.ShapeDtypeStruct((n_tiles * ROWS, LANES), jnp.float32),
+            jax.ShapeDtypeStruct((n_tiles * ROWS, LANES), jnp.float32),
+            jax.ShapeDtypeStruct((n_tiles * ROWS, LANES), jnp.int32),
+        ],
+        interpret=interpret,
+    )(iparams, fparams, p.sph_sub_bounds, p.sph_sub_cols,
+      p.tri_sub_bounds, p.tri_sub_cols, p.fetch_tab)
+
+    def untile(a):
+        """(n_tiles * ROWS, LANES) tile-local order -> (H, W) image crop."""
+        a = a.reshape(n_ty, n_tx, TS, TS)  # [ty, tx, ly, lx]
+        a = a.transpose(0, 2, 1, 3).reshape(n_ty * TS, n_tx * TS)
+        return a[: cfg.height, : cfg.width]
+
+    img = jnp.stack([untile(r), untile(g), untile(b)], axis=-1)
+    # edge tiles re-render clamped border pixels; the untile crop drops
+    # them from both the image and the segment count
+    segs_total = jnp.sum(untile(segs), dtype=jnp.uint32)
+    return img, segs_total

@@ -34,8 +34,32 @@ from ..utils.pytree import pytree_dataclass
 
 CLUSTER = 128
 
+# Megakernel sub-cluster size: pair blocks are (SUB, 128 rays) with
+# primitives on sublanes, so finer culling costs proportionally less.
+SUB = 32
 
-@pytree_dataclass(meta_fields=("n_sphere_clusters", "n_tri_clusters"))
+# Unified per-primitive fetch-table rows (transposed: (ROWS, slots)).
+# One MXU one-hot contraction per bounce fetches material + geometry for
+# every ray's best hit. Row meanings:
+#   0-2  colour        3-5  emission colour   6-8  specular colour
+#   9    emission str  10   smoothness        11   specular prob
+#   12   flag          13   ior               14   is_sphere
+#   15-17 sphere center
+#   18-20 tri pos_a    21-23 tri edge_ab      24-26 tri edge_ac
+#   27-29 tri normal_a 30-32 tri normal_b     33-35 tri normal_c
+#   36-38 tri n (geometric)                   39   pad
+FETCH_ROWS = 40
+
+
+@pytree_dataclass(
+    meta_fields=(
+        "n_sphere_clusters",
+        "n_tri_clusters",
+        "n_sphere_subs",
+        "n_tri_subs",
+        "features",
+    )
+)
 class PackedScene:
     """Device tables for the Pallas intersector (all f32 unless noted)."""
 
@@ -54,8 +78,20 @@ class PackedScene:
     tri_ceaca: jnp.ndarray  # (NCt, 3, 128): cross(eAC, A)
     tri_ceaba: jnp.ndarray  # (NCt, 3, 128): cross(eAB, A)
     tri_perm: jnp.ndarray  # (NCt * 128,) int32
+    # --- megakernel tables (sub-cluster = SUB primitives on sublanes) ---
+    sph_sub_bounds: jnp.ndarray  # (NSs, 8) f32
+    sph_sub_cols: jnp.ndarray  # (NSs, SUB, 8): cx, cy, cz, r, r^2, pad3
+    tri_sub_bounds: jnp.ndarray  # (NSt, 8) f32
+    tri_sub_cols: jnp.ndarray  # (NSt, SUB, 16): pa3, eab3, eac3, n3, pad4
+    fetch_tab: jnp.ndarray  # (FETCH_ROWS, NSs*SUB + NSt*SUB) f32
     n_sphere_clusters: int
     n_tri_clusters: int
+    n_sphere_subs: int
+    n_tri_subs: int
+    # static scene features: ("tris", "dielectric", "checker", "invisible",
+    # "sun", "env") - the megakernel compiles out code paths the scene
+    # cannot reach
+    features: tuple
 
 
 def _morton_order(centroids: np.ndarray) -> np.ndarray:
@@ -150,6 +186,96 @@ def pack_scene(scene: Scene) -> PackedScene:
     def t3(a):
         return a.reshape(nct, CLUSTER, 3).transpose(0, 2, 1).copy()
 
+    # ---- megakernel sub-cluster tables (same Morton order, finer grain) --
+    nss = s_pad // SUB
+    sph_sub_cols = np.zeros((nss, SUB, 8), np.float32)
+    sph_sub_cols[:, :, 0:3] = c.reshape(nss, SUB, 3)
+    sph_sub_cols[:, :, 3] = r.reshape(nss, SUB)
+    # column 4 = r^2 for the kernel's direct quadratic (oc.oc - r^2)
+    sph_sub_cols[:, :, 4] = (r * r).reshape(nss, SUB)
+    sph_sub_bounds = np.zeros((nss, 8), np.float32)
+    for k in range(nss):
+        cs = c[k * SUB : (k + 1) * SUB]
+        rs = r[k * SUB : (k + 1) * SUB]
+        live = rs > 0
+        if live.any():
+            rr = rs[live][:, None]
+            sph_sub_bounds[k, :3] = (cs[live] - rr).min(axis=0)
+            sph_sub_bounds[k, 3:6] = (cs[live] + rr).max(axis=0)
+
+    nst = t_pad // SUB
+    tri_sub_cols = np.zeros((nst, SUB, 16), np.float32)
+    tri_sub_cols[:, :, 0:3] = tpa.reshape(nst, SUB, 3)
+    tri_sub_cols[:, :, 3:6] = teab.reshape(nst, SUB, 3)
+    tri_sub_cols[:, :, 6:9] = teac.reshape(nst, SUB, 3)
+    tri_sub_cols[:, :, 9:12] = tn.reshape(nst, SUB, 3)
+    tri_sub_bounds = np.zeros((nst, 8), np.float32)
+    for k in range(nst):
+        sl = slice(k * SUB, (k + 1) * SUB)
+        live = (tn[sl] ** 2).sum(axis=1) > 0
+        if live.any():
+            verts = np.concatenate(
+                [tpa[sl][live], tpa[sl][live] + teab[sl][live],
+                 tpa[sl][live] + teac[sl][live]]
+            )
+            tri_sub_bounds[k, :3] = verts.min(axis=0)
+            tri_sub_bounds[k, 3:6] = verts.max(axis=0)
+
+    # ---- unified fetch table: material + geometry per packed slot -------
+    mats = scene.materials
+    n_slots = s_pad + t_pad
+    fetch = np.zeros((FETCH_ROWS, n_slots), np.float32)
+
+    def mat_rows(dst_slice, mat_idx):
+        fetch[0:3, dst_slice] = np.asarray(mats.colour)[mat_idx].T
+        fetch[3:6, dst_slice] = np.asarray(mats.emission_colour)[mat_idx].T
+        fetch[6:9, dst_slice] = np.asarray(mats.specular_colour)[mat_idx].T
+        fetch[9, dst_slice] = np.asarray(mats.emission_strength)[mat_idx]
+        fetch[10, dst_slice] = np.asarray(mats.smoothness)[mat_idx]
+        fetch[11, dst_slice] = np.asarray(mats.specular_probability)[mat_idx]
+        fetch[12, dst_slice] = np.asarray(mats.flag)[mat_idx].astype(
+            np.float32
+        )
+        fetch[13, dst_slice] = np.asarray(mats.ior)[mat_idx]
+
+    sph_mat = np.asarray(scene.spheres.mat_idx)[perm]
+    mat_rows(slice(0, s_pad), sph_mat)
+    fetch[14, :s_pad] = 1.0  # is_sphere
+    fetch[15:18, :s_pad] = c.T
+
+    tri_mat = np.asarray(scene.triangles.mat_idx)[tperm]
+    mat_rows(slice(s_pad, n_slots), tri_mat)
+    na = np.asarray(scene.triangles.normal_a)[tperm]
+    nb = np.asarray(scene.triangles.normal_b)[tperm]
+    nc_ = np.asarray(scene.triangles.normal_c)[tperm]
+    fetch[18:21, s_pad:] = tpa.T
+    fetch[21:24, s_pad:] = teab.T
+    fetch[24:27, s_pad:] = teac.T
+    fetch[27:30, s_pad:] = na.T
+    fetch[30:33, s_pad:] = nb.T
+    fetch[33:36, s_pad:] = nc_.T
+    fetch[36:39, s_pad:] = tn.T
+
+    flags = np.asarray(scene.materials.flag)
+    feats = []
+    if len(real_t):
+        feats.append("tris")
+    from ..models.geometry import (
+        FLAG_CHECKER as _FC,
+        FLAG_DIELECTRIC as _FD,
+        FLAG_INVISIBLE_LIGHT as _FI,
+    )
+    if (flags == _FD).any():
+        feats.append("dielectric")
+    if (flags == _FC).any():
+        feats.append("checker")
+    if (flags == _FI).any():
+        feats.append("invisible")
+    if float(scene.env.enabled) > 0:
+        feats.append("env")
+        if float(scene.env.sun_intensity) > 0:
+            feats.append("sun")
+
     return PackedScene(
         sph_bounds=jnp.asarray(sph_bounds),
         sph_c=jnp.asarray(sph_c),
@@ -164,6 +290,14 @@ def pack_scene(scene: Scene) -> PackedScene:
         tri_ceaca=jnp.asarray(t3(np.cross(teac, tpa))),
         tri_ceaba=jnp.asarray(t3(np.cross(teab, tpa))),
         tri_perm=jnp.asarray(tperm),
+        sph_sub_bounds=jnp.asarray(sph_sub_bounds),
+        sph_sub_cols=jnp.asarray(sph_sub_cols),
+        tri_sub_bounds=jnp.asarray(tri_sub_bounds),
+        tri_sub_cols=jnp.asarray(tri_sub_cols),
+        fetch_tab=jnp.asarray(fetch),
         n_sphere_clusters=int(ncs),
         n_tri_clusters=int(nct),
+        n_sphere_subs=int(nss),
+        n_tri_subs=int(nst) if len(real_t) else 0,
+        features=tuple(feats),
     )

@@ -39,6 +39,8 @@ def _resolve_intersector(
 
             return closest_hit_bvh
         return None  # trace() defaults to brute force
+    if cfg.intersector == "mega":
+        return None  # handled at frame level, not per-bounce
     if cfg.intersector == "bruteforce":
         return None
     if cfg.intersector == "bvh":
@@ -113,6 +115,28 @@ def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
+def _use_megakernel(scene: Scene, cfg: RenderConfig) -> bool:
+    """The fused Pallas megakernel handles whole frames on TPU for scenes
+    whose packed tables fit VMEM; BVH scenes and other intersector choices
+    use the XLA bounce loop."""
+    if cfg.intersector == "mega":
+        return True
+    if cfg.intersector != "auto":
+        return False
+    if scene.tri_bvh is not None or scene.sphere_bvh is not None:
+        return False
+    try:
+        import jax as _jax
+
+        if _jax.devices()[0].platform != "tpu":
+            return False
+    except Exception:
+        return False
+    from .kernels.megakernel import mega_supported
+
+    return mega_supported(scene, cfg)
+
+
 @functools.partial(jax.jit, static_argnames=("cfg",))
 def render_frame_with_stats(
     scene: Scene, camera: Camera, cfg: RenderConfig, frame
@@ -123,6 +147,11 @@ def render_frame_with_stats(
     ``frame`` is a traced uint32 scalar (progressive accumulation advances it
     without recompiling). Row 0 of the output is the image BOTTOM.
     """
+    if _use_megakernel(scene, cfg):
+        from .kernels.megakernel import render_frame_mega
+
+        return render_frame_mega(scene, camera, cfg, frame)
+
     blocks = jnp.asarray(_padded_pixel_blocks(cfg))
     intersect_fn = _resolve_intersector(scene, cfg)
 

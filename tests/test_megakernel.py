@@ -1,0 +1,54 @@
+"""Megakernel (interpret mode) vs the XLA reference path.
+
+The megakernel shares the XLA path's RNG layout; outputs differ only by the
+documented <=1-ulp RandomValue rounding (kernels/megakernel.py docstring), so
+whole-frame comparisons are tight except for rare knife-edge path divergence.
+"""
+
+import numpy as np
+import jax.numpy as jnp
+
+from ray_tracing_extended_tpu.kernels.megakernel import render_frame_mega
+from ray_tracing_extended_tpu.models.presets import (
+    cornell_box_scene,
+    three_sphere_scene,
+)
+from ray_tracing_extended_tpu.render import render_frame
+
+
+def _compare(scene, cam, cfg, frame=3, tight=1e-3):
+    a = np.asarray(render_frame(scene, cam, cfg, jnp.uint32(frame)))
+    b, segs = render_frame_mega(
+        scene, cam, cfg, jnp.uint32(frame), interpret=True
+    )
+    b = np.asarray(b)
+    assert not np.isnan(b).any()
+    d = np.abs(a - b).max(axis=-1)
+    assert (d < tight).mean() > 0.995, f"frac tight {(d < tight).mean()}"
+    assert np.abs(a - b).mean() < 1e-3
+    assert int(segs) > 0
+    return a, b
+
+
+def test_mega_three_sphere_matches_xla():
+    scene, cam, cfg = three_sphere_scene(width=128, height=48, spp=2)
+    _compare(scene, cam, cfg)
+
+
+def test_mega_cornell_matches_xla():
+    # triangles + dielectric + metal + emissive, env off
+    scene, cam, cfg = cornell_box_scene(width=96, height=96, max_bounce=4, spp=1)
+    _compare(scene, cam, cfg)
+
+
+def test_mega_odd_image_size():
+    scene, cam, cfg = three_sphere_scene(width=100, height=45, spp=1)
+    _compare(scene, cam, cfg, frame=0)
+
+
+def test_mega_segment_count_sane():
+    scene, cam, cfg = three_sphere_scene(width=64, height=32, spp=2)
+    _, segs = render_frame_mega(scene, cam, cfg, jnp.uint32(0), interpret=True)
+    n_paths = 64 * 32 * 2
+    # every path traces at least 1 and at most max_bounce+1 segments
+    assert n_paths <= int(segs) <= n_paths * (cfg.max_bounce + 1)
