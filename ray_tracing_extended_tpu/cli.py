@@ -1,0 +1,176 @@
+"""Command-line entry points: render / benchmark / compare.
+
+    python -m ray_tracing_extended_tpu.cli render --scene preset:three_sphere \\
+        --frames 16 --out out.png --metrics metrics.jsonl
+    python -m ray_tracing_extended_tpu.cli render --scene Chess.unity \\
+        --width 1920 --height 1080 --frames 64 \\
+        --checkpoint chess.npz --resume
+    python -m ray_tracing_extended_tpu.cli benchmark
+    python -m ray_tracing_extended_tpu.cli compare --scene preset:cornell \\
+        --a mega --b bruteforce
+
+Scene specs: ``preset:{three_sphere|rtiow|cornell|mesh}``, a ``.unity``
+scene (the reference's own files load directly), a ``.json`` scene
+(scene/json_scene.py schema), or a ``.obj`` mesh.
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import sys
+
+
+def _load_scene(spec: str, args):
+    overrides = {}
+    for k in ("width", "height", "spp", "max_bounce"):
+        v = getattr(args, k, None)
+        if v is not None:
+            overrides[k] = v
+    if getattr(args, "intersector", None):
+        overrides["intersector"] = args.intersector
+    if getattr(args, "hdr", False):
+        overrides["clamp_accumulate"] = False
+
+    if spec.startswith("preset:"):
+        from .models import presets
+
+        name = spec.split(":", 1)[1]
+        fn = {
+            "three_sphere": presets.three_sphere_scene,
+            "rtiow": presets.rtiow_final_scene,
+            "cornell": presets.cornell_box_scene,
+            "mesh": presets.mesh_scene,
+        }[name]
+        scene, cam, cfg = fn()
+        if overrides:
+            cfg = dataclasses.replace(cfg, **overrides)
+        return scene, cam, cfg.validate()
+    if spec.endswith(".unity"):
+        from .scene.unity import load_unity_scene
+
+        return load_unity_scene(spec, overrides=overrides)
+    if spec.endswith(".json"):
+        from .scene.json_scene import load_json_scene
+
+        return load_json_scene(spec, overrides=overrides)
+    if spec.endswith(".obj"):
+        from .models.presets import mesh_scene
+
+        scene, cam, cfg = mesh_scene(obj_path=spec)
+        if overrides:
+            cfg = dataclasses.replace(cfg, **overrides)
+        return scene, cam, cfg.validate()
+    raise SystemExit(f"unrecognized scene spec: {spec}")
+
+
+def cmd_render(args):
+    from .progressive import render_progressive
+    from .utils.metrics import MetricsLogger
+
+    scene, cam, cfg = _load_scene(args.scene, args)
+    if cam is None:
+        raise SystemExit("scene has no camera; pass a preset or add one")
+    metrics = MetricsLogger(args.metrics, echo=args.verbose)
+    img = render_progressive(
+        scene,
+        cam,
+        cfg,
+        frames=args.frames,
+        checkpoint_path=args.checkpoint,
+        checkpoint_every=args.checkpoint_every,
+        resume=args.resume,
+        metrics=metrics,
+    )
+    metrics.close()
+    if args.out:
+        from .utils.image import save_png
+
+        save_png(args.out, img, tone=args.tone, exposure=args.exposure)
+        print(f"wrote {args.out} ({cfg.width}x{cfg.height}, "
+              f"{args.frames} frames x {cfg.spp} spp)")
+    return 0
+
+
+def cmd_benchmark(args):
+    import bench  # repo-root canonical benchmark
+
+    bench.main()
+    return 0
+
+
+def cmd_compare(args):
+    """Render the same frame with two intersectors and report agreement -
+    the MC-statistical pixel comparison of SURVEY.md section 4."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from .render import render_frame
+
+    scene, cam, cfg = _load_scene(args.scene, args)
+    imgs = {}
+    for which in (args.a, args.b):
+        c = dataclasses.replace(cfg, intersector=which)
+        imgs[which] = np.asarray(
+            render_frame(scene, cam, c, jnp.uint32(args.frame))
+        )
+    a, b = imgs[args.a], imgs[args.b]
+    d = np.abs(a - b)
+    rel = (d / (1.0 + np.abs(b))).max(axis=-1)
+    print(
+        f"{args.a} vs {args.b}: mean|d|={d.mean():.3e} "
+        f"max|d|={d.max():.3e} frac(rel<1e-3)={(rel < 1e-3).mean():.4f} "
+        f"means {a.mean():.5f}/{b.mean():.5f}"
+    )
+    ok = (rel < 1e-3).mean() > 0.95 and abs(a.mean() - b.mean()) < 0.02
+    print("AGREE" if ok else "DISAGREE")
+    return 0 if ok else 1
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(prog="ray_tracing_extended_tpu")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    def add_scene_args(sp):
+        sp.add_argument("--scene", required=True)
+        sp.add_argument("--width", type=int)
+        sp.add_argument("--height", type=int)
+        sp.add_argument("--spp", type=int)
+        sp.add_argument("--max-bounce", dest="max_bounce", type=int)
+        sp.add_argument(
+            "--intersector",
+            choices=["auto", "bruteforce", "bvh", "pallas", "mega"],
+        )
+        sp.add_argument("--hdr", action="store_true",
+                        help="unclamped accumulation (reference clamps)")
+
+    r = sub.add_parser("render", help="progressive render")
+    add_scene_args(r)
+    r.add_argument("--frames", type=int, default=1)
+    r.add_argument("--out", default=None)
+    r.add_argument("--tone", default="none",
+                   choices=["none", "reinhard", "aces"])
+    r.add_argument("--exposure", type=float, default=1.0)
+    r.add_argument("--checkpoint", default=None)
+    r.add_argument("--checkpoint-every", type=int, default=0)
+    r.add_argument("--resume", action="store_true")
+    r.add_argument("--metrics", default=None)
+    r.add_argument("--verbose", action="store_true")
+    r.set_defaults(fn=cmd_render)
+
+    b = sub.add_parser("benchmark", help="canonical Mrays/s benchmark")
+    b.set_defaults(fn=cmd_benchmark)
+
+    c = sub.add_parser("compare", help="cross-intersector agreement check")
+    add_scene_args(c)
+    c.add_argument("--a", default="mega")
+    c.add_argument("--b", default="bruteforce")
+    c.add_argument("--frame", type=int, default=0)
+    c.set_defaults(fn=cmd_compare)
+
+    args = p.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

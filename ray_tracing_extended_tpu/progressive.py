@@ -1,0 +1,90 @@
+"""Progressive multi-frame renderer: the frame loop of the reference's
+OnRenderImage (RayTracingManager.cs:49-93) as a production driver with
+checkpoint/resume and structured metrics (both absent in the reference -
+SURVEY.md section 5).
+
+Per frame: render (megakernel or XLA path), fold into the running average
+with the reference's 1/(frame+1) weighting, optionally checkpoint
+(atomically) and emit one JSONL metrics line (Mrays/s from live segment
+counts, spp/s, convergence delta).
+"""
+
+from __future__ import annotations
+
+import time
+
+import numpy as np
+import jax.numpy as jnp
+
+from .models.geometry import Scene
+from .ops.accumulate import accumulate
+from .ops.camera import Camera
+from .render import render_frame_with_stats
+from .utils import checkpoint as ckpt
+from .utils.config import RenderConfig
+from .utils.metrics import FrameMetrics, MetricsLogger
+
+
+def render_progressive(
+    scene: Scene,
+    camera: Camera,
+    cfg: RenderConfig,
+    frames: int,
+    checkpoint_path=None,
+    checkpoint_every: int = 0,
+    resume: bool = False,
+    metrics: MetricsLogger | None = None,
+    cameras=None,
+):
+    """Accumulate ``frames`` frames and return the (H, W, 3) average.
+
+    ``cameras``: optional per-frame Camera sequence (fly-throughs,
+    BASELINE config 5). With a static camera the running average converges
+    to the scene's radiance; with per-frame cameras each frame still folds
+    with the reference weighting (matching its behavior when the camera
+    moves - SURVEY.md section 3.4).
+    """
+    start_frame = 0
+    accum = jnp.zeros((cfg.height, cfg.width, 3), jnp.float32)
+    fingerprint = None
+    if checkpoint_path is not None:
+        fingerprint = ckpt.state_hash(scene, camera, cfg)
+        if resume:
+            import os
+
+            if os.path.exists(checkpoint_path):
+                accum_np, start_frame = ckpt.load(checkpoint_path, fingerprint)
+                accum = jnp.asarray(accum_np)
+
+    for f in range(start_frame, start_frame + frames):
+        cam = cameras[f] if cameras is not None else camera
+        t0 = time.perf_counter()
+        cur, segs = render_frame_with_stats(scene, cam, cfg, jnp.uint32(f))
+        accum = accumulate(accum, cur, f, clamp=cfg.clamp_accumulate)
+        segs = int(segs)  # blocks until the frame is done
+        wall = time.perf_counter() - t0
+        if metrics is not None:
+            metrics.log(
+                FrameMetrics(
+                    frame=f,
+                    wall_s=wall,
+                    rays=segs,
+                    pixels=cfg.num_pixels,
+                    spp=cfg.spp,
+                )
+            )
+        if (
+            checkpoint_path is not None
+            and checkpoint_every
+            and (f + 1) % checkpoint_every == 0
+        ):
+            ckpt.save(checkpoint_path, np.asarray(accum), f + 1, fingerprint)
+
+    if checkpoint_path is not None:
+        ckpt.save(
+            checkpoint_path,
+            np.asarray(accum),
+            start_frame + frames,
+            fingerprint,
+        )
+    return np.asarray(accum)

@@ -1,0 +1,384 @@
+"""Unity scene (.unity YAML) importer: ports the reference's six scenes 1:1.
+
+Reads the serialized scene graph exactly as the reference's frame scan does
+(RayTracingManager.CreateSpheres/CreateMeshes, RayTracingManager.cs:135-187):
+
+  * ``RayTracedSphere`` components (script GUID 52a9ac6d...) -> spheres at
+    the world transform position with radius = localScale.x * 0.5
+    (RayTracingManager.cs:178) + their serialized RayTracingMaterial;
+  * ``RayTracedMesh`` components (GUID da1318d8...) -> the scene file's
+    cached ``localChunks`` (the MeshSplitter output Unity serialized,
+    RayTracedMesh.cs:14) transformed to world space like
+    UpdateWorldChunkFromLocal (RayTracedMesh.cs:56-84), with per-chunk
+    materials via subMeshIndex (RayTracingManager.cs:149);
+  * the ``RayTracingManager`` (GUID 68c390cd...) -> RenderConfig knobs +
+    EnvironmentSettings;
+  * the main ``Camera`` + its transform -> Camera (vertical FOV, position,
+    rotation);
+  * the directional ``Light`` -> environment sun direction
+    (-forward, i.e. Unity's _WorldSpaceLightPos0 for directional lights,
+    RayTracing.shader:247).
+
+Transform hierarchies are composed through ``m_Father`` chains (TRS with
+quaternion rotations, like Unity's lossyScale path the reference uses).
+"""
+
+from __future__ import annotations
+
+import re
+from pathlib import Path
+
+import numpy as np
+import yaml
+
+from ..models.geometry import Environment
+from ..models.scene import Material, SceneBuilder
+from ..ops.camera import Camera, camera_from_matrix
+from ..utils.config import RenderConfig
+
+GUID_SPHERE = "52a9ac6d93ef8ff438ff410be33e635a"  # RayTracedSphere.cs.meta
+GUID_MESH = "da1318d85859d584682b30dbc26ca9f6"  # RayTracedMesh.cs.meta
+GUID_MANAGER = "68c390cdf7a860745bbbdeccd7d206a9"  # RayTracingManager.cs.meta
+
+_DOC_RE = re.compile(r"^--- !u!(\d+) &(\d+)( stripped)?\s*$", re.M)
+
+
+def _parse_unity_yaml(text: str):
+    """-> {fileID: (class_id, body_dict)}"""
+    docs = {}
+    matches = list(_DOC_RE.finditer(text))
+    for i, m in enumerate(matches):
+        class_id = int(m.group(1))
+        file_id = int(m.group(2))
+        start = m.end()
+        end = matches[i + 1].start() if i + 1 < len(matches) else len(text)
+        body = yaml.safe_load(text[start:end])
+        if isinstance(body, dict) and len(body) == 1:
+            body = next(iter(body.values()))
+        docs[file_id] = (class_id, body)
+    return docs
+
+
+def _v3(d, default=(0.0, 0.0, 0.0)):
+    if not isinstance(d, dict):
+        return np.asarray(default, np.float64)
+    return np.asarray([d.get("x", 0), d.get("y", 0), d.get("z", 0)], np.float64)
+
+
+def _colour(d):
+    return (float(d.get("r", 1)), float(d.get("g", 1)), float(d.get("b", 1)))
+
+
+def _quat_matrix(q):
+    x, y, z, w = (q.get("x", 0), q.get("y", 0), q.get("z", 0), q.get("w", 1))
+    n = max(np.sqrt(x * x + y * y + z * z + w * w), 1e-20)
+    x, y, z, w = x / n, y / n, z / n, w / n
+    return np.array(
+        [
+            [1 - 2 * (y * y + z * z), 2 * (x * y - z * w), 2 * (x * z + y * w)],
+            [2 * (x * y + z * w), 1 - 2 * (x * x + z * z), 2 * (y * z - x * w)],
+            [2 * (x * z - y * w), 2 * (y * z + x * w), 1 - 2 * (x * x + y * y)],
+        ]
+    )
+
+
+class _SceneDocs:
+    def __init__(self, docs, scene_path=None):
+        self.docs = docs
+        self.scene_path = Path(scene_path) if scene_path else None
+        self.transforms = {
+            fid: b for fid, (cid, b) in docs.items() if cid == 4
+        }
+        # transform fileID by owning GameObject
+        self.tf_of_go = {}
+        for fid, b in self.transforms.items():
+            go = (b.get("m_GameObject") or {}).get("fileID")
+            if go:
+                self.tf_of_go[go] = fid
+        self.prefab_instances = {
+            fid: b for fid, (cid, b) in docs.items() if cid == 1001
+        }
+        # stripped GameObject -> owning PrefabInstance
+        self.prefab_of_go = {}
+        for fid, (cid, b) in docs.items():
+            if cid == 1 and isinstance(b, dict):
+                pi = (b.get("m_PrefabInstance") or {}).get("fileID")
+                if pi:
+                    self.prefab_of_go[fid] = pi
+
+    def _prefab_trs(self, prefab_id):
+        """Local TRS of a prefab instance root: m_Modifications override the
+        source prefab's defaults. For FBX-sourced prefabs (the reference's
+        mesh assets) the default root scale/rotation come from the FBX
+        Model node (Unity keeps the file's Lcl Scaling - e.g. 100 - on the
+        prefab root while baking FileScale into the mesh)."""
+        body = self.prefab_instances.get(prefab_id)
+        if body is None:
+            return np.zeros(3), np.eye(3), np.ones(3)
+        mods = {}
+        src_guid = ((body.get("m_SourcePrefab") or {}).get("guid")) or ""
+        for m in (body.get("m_Modification") or {}).get(
+            "m_Modifications"
+        ) or []:
+            mods[m.get("propertyPath", "")] = m.get("value")
+
+        # defaults from the source FBX's root model
+        d_pos = np.zeros(3)
+        d_rot_deg = np.zeros(3)
+        d_scale = np.ones(3)
+        asset = self._asset_for_guid(src_guid)
+        if asset is not None and asset.suffix.lower() == ".fbx":
+            try:
+                from .fbx import _model_trs, _parse
+
+                root, _ = _parse(asset.read_bytes())
+                for top in root.children:
+                    if top.name == "Objects":
+                        for node in top.children:
+                            if node.name == "Model":
+                                d_pos, d_rot_deg, d_scale = _model_trs(node)
+                                break
+            except Exception:
+                pass
+
+        def getf(path, default):
+            v = mods.get(path)
+            try:
+                return float(v)
+            except (TypeError, ValueError):
+                return default
+
+        pos = np.array(
+            [
+                getf("m_LocalPosition.x", d_pos[0]),
+                getf("m_LocalPosition.y", d_pos[1]),
+                getf("m_LocalPosition.z", d_pos[2]),
+            ]
+        )
+        scale = np.array(
+            [
+                getf("m_LocalScale.x", d_scale[0]),
+                getf("m_LocalScale.y", d_scale[1]),
+                getf("m_LocalScale.z", d_scale[2]),
+            ]
+        )
+        if any(f"m_LocalRotation.{a}" in mods for a in "xyzw"):
+            rot = _quat_matrix(
+                {
+                    a: getf(f"m_LocalRotation.{a}", 1.0 if a == "w" else 0.0)
+                    for a in "xyzw"
+                }
+            )
+        else:
+            from .fbx import _euler_xyz_matrix
+
+            rot = _euler_xyz_matrix(d_rot_deg)
+        parent = (
+            (body.get("m_Modification") or {}).get("m_TransformParent") or {}
+        ).get("fileID") or 0
+        if parent:
+            p_pos, p_rot, p_scale = self._trs_of_transform(parent)
+            pos = p_pos + p_rot @ (p_scale * pos)
+            rot = p_rot @ rot
+            scale = p_scale * scale
+        return pos, rot, scale
+
+    def _asset_for_guid(self, guid):
+        if not guid or self.scene_path is None:
+            return None
+        # Assets root = .../Assets/...; scan *.meta once
+        root = self.scene_path.parent
+        while root.name and root.name != "Assets":
+            root = root.parent
+        if not root.name:
+            return None
+        if not hasattr(self, "_guid_map"):
+            self._guid_map = {}
+            for meta in root.rglob("*.meta"):
+                try:
+                    for line in meta.read_text().splitlines():
+                        if line.startswith("guid:"):
+                            self._guid_map[line.split()[1]] = meta.with_suffix(
+                                ""
+                            )
+                            break
+                except OSError:
+                    pass
+        return self._guid_map.get(guid)
+
+    def _trs_of_transform(self, tf_id):
+        chain = []
+        while tf_id:
+            b = self.transforms.get(tf_id)
+            if b is None:
+                break
+            chain.append(b)
+            tf_id = (b.get("m_Father") or {}).get("fileID") or 0
+        pos = np.zeros(3)
+        rot = np.eye(3)
+        scale = np.ones(3)
+        for b in reversed(chain):
+            lp = _v3(b.get("m_LocalPosition"))
+            lr = _quat_matrix(b.get("m_LocalRotation") or {})
+            ls = _v3(b.get("m_LocalScale"), (1, 1, 1))
+            pos = pos + rot @ (scale * lp)
+            rot = rot @ lr
+            scale = scale * ls  # lossyScale approximation (no shear)
+        return pos, rot, scale
+
+    def world_trs(self, go_file_id):
+        """Compose world (pos, rot 3x3, scale 3) through the parent chain,
+        resolving stripped prefab-instance objects."""
+        tf_id = self.tf_of_go.get(go_file_id)
+        if tf_id is None and go_file_id in self.prefab_of_go:
+            return self._prefab_trs(self.prefab_of_go[go_file_id])
+        return self._trs_of_transform(tf_id)
+
+
+def _material_from(d) -> Material:
+    return Material(
+        colour=_colour(d.get("colour", {})),
+        emission_colour=_colour(d.get("emissionColour", {})),
+        specular_colour=_colour(d.get("specularColour", {})),
+        emission_strength=float(d.get("emissionStrength", 0.0)),
+        smoothness=float(d.get("smoothness", 0.0)),
+        specular_probability=float(d.get("specularProbability", 1.0)),
+        flag=int(d.get("flag", 0)),
+    )
+
+
+def load_unity_scene(path, overrides: dict | None = None):
+    """Import a .unity scene -> (scene, camera, config).
+
+    ``overrides`` may set width/height/spp/max_bounce etc. on the returned
+    RenderConfig (the reference renders at whatever the window size is;
+    width/height default to 1280x720).
+    """
+    text = Path(path).read_text()
+    docs = _parse_unity_yaml(text)
+    sd = _SceneDocs(docs, scene_path=path)
+
+    manager = None
+    spheres = []
+    meshes = []
+    camera_doc = None
+    light_dirs = []
+
+    for fid, (cid, body) in docs.items():
+        if cid == 114 and isinstance(body, dict):  # MonoBehaviour
+            guid = (body.get("m_Script") or {}).get("guid", "")
+            if guid == GUID_MANAGER:
+                manager = body
+            elif guid == GUID_SPHERE:
+                spheres.append(body)
+            elif guid == GUID_MESH:
+                meshes.append(body)
+        elif cid == 20 and isinstance(body, dict):  # Camera
+            if body.get("m_Enabled", 1):
+                camera_doc = body
+        elif cid == 108 and isinstance(body, dict):  # Light
+            if body.get("m_Type", 1) == 1:  # directional
+                go = (body.get("m_GameObject") or {}).get("fileID")
+                if go:
+                    _, rot, _ = sd.world_trs(go)
+                    light_dirs.append(-rot[:, 2])  # -forward = toward sun
+
+    # ---- environment / config (RayTracingManager fields) ----
+    env = Environment.disabled()
+    cfg_kw = {}
+    if manager is not None:
+        import jax.numpy as jnp
+
+        es = manager.get("environmentSettings") or {}
+        sun_dir = (
+            light_dirs[0]
+            if light_dirs
+            else np.array([0.0, 1.0, 0.0])
+        )
+        sun_dir = sun_dir / max(np.linalg.norm(sun_dir), 1e-20)
+        env = Environment(
+            enabled=jnp.float32(1.0 if es.get("enabled", 0) else 0.0),
+            ground_colour=jnp.asarray(
+                _colour(es.get("groundColour", {})), jnp.float32
+            ),
+            sky_colour_horizon=jnp.asarray(
+                _colour(es.get("skyColourHorizon", {})), jnp.float32
+            ),
+            sky_colour_zenith=jnp.asarray(
+                _colour(es.get("skyColourZenith", {})), jnp.float32
+            ),
+            sun_focus=jnp.float32(max(1.0, float(es.get("sunFocus", 1)))),
+            sun_intensity=jnp.float32(
+                max(0.0, float(es.get("sunIntensity", 0)))
+            ),
+            sun_dir=jnp.asarray(sun_dir, jnp.float32),
+        )
+        cfg_kw = dict(
+            max_bounce=int(manager.get("maxBounceCount", 4)),
+            spp=max(1, int(manager.get("numRaysPerPixel", 2))),
+        )
+
+    b = SceneBuilder(env=env)
+
+    # ---- spheres (RayTracingManager.cs:167-187) ----
+    for s in spheres:
+        go = (s.get("m_GameObject") or {}).get("fileID")
+        pos, _, scale = sd.world_trs(go)
+        b.add_sphere(
+            pos.astype(np.float32),
+            float(scale[0]) * 0.5,
+            _material_from(s.get("material") or {}),
+        )
+
+    # ---- meshes: serialized localChunks -> world space ----
+    for m in meshes:
+        go = (m.get("m_GameObject") or {}).get("fileID")
+        pos, rot, scale = sd.world_trs(go)
+        mats = [_material_from(d) for d in (m.get("materials") or [{}])]
+        n_mat = np.linalg.inv(rot * np.maximum(np.abs(scale), 1e-20)).T
+        for chunk in m.get("localChunks") or []:
+            tris = chunk.get("triangles") or []
+            if not tris:
+                continue
+            sub = int(chunk.get("subMeshIndex", 0))
+            mat = mats[min(sub, len(mats) - 1)]
+            tp = np.zeros((len(tris), 3, 3), np.float32)
+            tn = np.zeros((len(tris), 3, 3), np.float32)
+            for i, t in enumerate(tris):
+                for j, (pk, nk) in enumerate(
+                    (("posA", "normalA"), ("posB", "normalB"),
+                     ("posC", "normalC"))
+                ):
+                    p_l = _v3(t.get(pk))
+                    n_l = _v3(t.get(nk))
+                    tp[i, j] = rot @ (scale * p_l) + pos
+                    nw = n_mat @ n_l
+                    tn[i, j] = nw / max(np.linalg.norm(nw), 1e-20)
+            b.add_triangles(tp, tn, mat)
+
+    scene = b.build()
+
+    # ---- camera ----
+    cam = None
+    if camera_doc is not None:
+        go = (camera_doc.get("m_GameObject") or {}).get("fileID")
+        pos, rot, _ = sd.world_trs(go)
+        fov = float(camera_doc.get("field of view", 60.0))
+        mgr = manager or {}
+        cam = camera_from_matrix(
+            pos.astype(np.float32),
+            rot.astype(np.float32),
+            fov_y_deg=fov,
+            focus_distance=max(0.0, float(mgr.get("focusDistance", 1.0))),
+            defocus_strength=max(0.0, float(mgr.get("defocusStrength", 0.0))),
+            diverge_strength=max(
+                0.0, float(mgr.get("divergeStrength", 0.3))
+            ),
+        )
+
+    cfg = RenderConfig(width=1280, height=720, **cfg_kw)
+    if overrides:
+        import dataclasses
+
+        cfg = dataclasses.replace(cfg, **overrides)
+    return scene, cam, cfg.validate()
