@@ -75,9 +75,36 @@ def build_lbvh(
     prim_bmax = np.asarray(prim_bmax, np.float32)
     p = prim_bmin.shape[0]
     centroid = (prim_bmin + prim_bmax) * 0.5
+
+    # Native (C++) build path: bit-identical to the NumPy code below,
+    # ~100x faster for production-scale meshes (utils/native.py).
+    from ..utils.native import lbvh_build as _native_build
+    from ..utils.native import morton_codes as _native_codes
+
+    native_codes = _native_codes(centroid)
+    if native_codes is not None:
+        from ..utils.native import argsort_u64
+
+        order = argsort_u64(native_codes)
+        sorted_codes = native_codes[order]
+        built = _native_build(
+            prim_bmin, prim_bmax, order, sorted_codes, leaf_width, sentinel
+        )
+        if built is not None:
+            nb_min, nb_max, left, right, leaf_row, leaf_prims = built
+            return BVH(
+                bounds_min=jnp.asarray(nb_min),
+                bounds_max=jnp.asarray(nb_max),
+                left=jnp.asarray(left),
+                right=jnp.asarray(right),
+                leaf_row=jnp.asarray(leaf_row),
+                leaf_prims=jnp.asarray(leaf_prims),
+            )
+
     lo = centroid.min(axis=0)
     hi = centroid.max(axis=0)
-    scale = np.where(hi > lo, 1023.0 / (hi - lo), 0.0)
+    denom = np.where(hi > lo, hi - lo, 1.0)
+    scale = np.where(hi > lo, 1023.0 / denom, 0.0)
     q = np.clip(((centroid - lo) * scale), 0, 1023).astype(np.uint32)
     codes = _morton3(q)
     order = np.argsort(codes, kind="stable").astype(np.int32)
@@ -129,8 +156,11 @@ def build_lbvh(
             r_node = new_node()
             left[node] = l_node
             right[node] = r_node
-            work.append((l_node, s, m))
+            # push right first so the left subtree is processed first -
+            # node/leaf numbering then matches the native (C++) recursive
+            # builder exactly (tests assert bit-identical trees)
             work.append((r_node, m, e))
+            work.append((l_node, s, m))
 
     return BVH(
         bounds_min=jnp.asarray(np.stack(bounds_min)),

@@ -121,7 +121,7 @@ def _norm3(x, y, z):
 
 
 def _render_kernel(
-    ip_ref,  # SMEM int32 (2,): [frame, n_pix]
+    ip_ref,  # SMEM int32 (3,): [frame, n_pix(unused), y0 band offset]
     fp_ref,  # SMEM f32 (32,): camera + environment params
     sph_bounds_ref,  # (NSs, 8)
     sph_cols_ref,  # (NSs, SUB, 8): cx, cy, cz, r, r2, pad3
@@ -163,7 +163,9 @@ def _render_kernel(
     t_y = pid // n_tx
     local = sub_i * LANES + lane
     x = jnp.minimum(t_x * TS + local % TS, width - 1)
-    y = jnp.minimum(t_y * TS + local // TS, height - 1)
+    # ip_ref[2] is the y offset of this device's horizontal band (0 on a
+    # single chip): tile rows are band-local, pixel seeds stay global.
+    y = jnp.minimum(ip_ref[2] + t_y * TS + local // TS, height - 1)
     pix = y * width + x
 
     frame = ip_ref[0]
@@ -665,7 +667,7 @@ def mega_supported(scene: Scene, cfg: RenderConfig) -> bool:
     return slots <= 4096
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "interpret", "use_cull", "stub_fetch", "stub_intersect"))
+@functools.partial(jax.jit, static_argnames=("cfg", "interpret", "use_cull", "stub_fetch", "stub_intersect", "band_height"))
 def render_frame_mega(
     scene: Scene,
     camera,
@@ -675,6 +677,8 @@ def render_frame_mega(
     use_cull: bool = True,
     stub_fetch: bool = False,
     stub_intersect: bool = False,
+    y0=0,
+    band_height: int | None = None,
 ):
     """Full-frame render via the megakernel.
 
@@ -687,7 +691,9 @@ def render_frame_mega(
     p = scene.packed
     n_pix = cfg.num_pixels
     n_tx = -(-cfg.width // TS)
-    n_ty = -(-cfg.height // TS)
+    # band rendering: this launch covers rows [y0, y0 + band_height)
+    bh = band_height if band_height is not None else cfg.height
+    n_ty = -(-bh // TS)
     n_tiles = n_tx * n_ty
 
     half_fov = camera.fov_y_deg * np.float32(_math.pi / 360.0)
@@ -717,7 +723,8 @@ def render_frame_mega(
         ]
     ).astype(jnp.float32)
     iparams = jnp.stack(
-        [jnp.asarray(frame, jnp.int32), jnp.int32(n_pix)]
+        [jnp.asarray(frame, jnp.int32), jnp.int32(n_pix),
+         jnp.asarray(y0, jnp.int32)]
     )
 
     kernel = functools.partial(
@@ -771,13 +778,17 @@ def render_frame_mega(
       p.tri_sub_bounds, p.tri_sub_cols, p.fetch_tab)
 
     def untile(a):
-        """(n_tiles * ROWS, LANES) tile-local order -> (H, W) image crop."""
+        """(n_tiles * ROWS, LANES) tile-local order -> (bh, W) band crop."""
         a = a.reshape(n_ty, n_tx, TS, TS)  # [ty, tx, ly, lx]
         a = a.transpose(0, 2, 1, 3).reshape(n_ty * TS, n_tx * TS)
-        return a[: cfg.height, : cfg.width]
+        return a[:bh, : cfg.width]
 
     img = jnp.stack([untile(r), untile(g), untile(b)], axis=-1)
     # edge tiles re-render clamped border pixels; the untile crop drops
-    # them from both the image and the segment count
-    segs_total = jnp.sum(untile(segs), dtype=jnp.uint32)
+    # them from both the image and the segment count. Bands whose rows
+    # extend past the image (band_height rounds up to TS) are masked too.
+    row_valid = (jnp.arange(bh) + jnp.asarray(y0, jnp.int32)) < cfg.height
+    segs_total = jnp.sum(
+        jnp.where(row_valid[:, None], untile(segs), 0), dtype=jnp.uint32
+    )
     return img, segs_total

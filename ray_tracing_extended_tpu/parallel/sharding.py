@@ -144,6 +144,54 @@ def blocks_to_image(accum_blocks, cfg: RenderConfig):
     return np.asarray(flat).reshape(cfg.height, cfg.width, 3)
 
 
+@functools.partial(jax.jit, static_argnames=("cfg", "mesh"))
+def render_frame_mega_sharded(
+    scene: Scene, camera: Camera, cfg: RenderConfig, frame, mesh: Mesh
+):
+    """Multi-chip megakernel frame: the image splits into horizontal bands
+    of TS-aligned rows over the 'tiles' axis (each chip runs the fused
+    kernel on its band - zero hot-loop collectives), while 'spp' rows
+    render the same band with different frame seeds and pmean-merge (the
+    one collective). Band split is bit-identical to a single-chip render of
+    the same frame indices (per-pixel seeds are global).
+
+    Returns ((H, W, 3) image, total live segments) with the image laid out
+    row-sharded over 'tiles'.
+    """
+    from ..kernels.megakernel import TS, render_frame_mega
+
+    # CPU (tests / virtual meshes) requires Pallas interpret mode
+    interpret = mesh.devices.flat[0].platform != "tpu"
+    n_bands = mesh.shape["tiles"]
+    rows_per_band = -(-cfg.height // n_bands)
+    bh = -(-rows_per_band // TS) * TS  # TS-aligned band height
+
+    def shard_fn(frame):
+        band = lax.axis_index("tiles")
+        row = lax.axis_index("spp").astype(jnp.uint32)
+        img, segs = render_frame_mega(
+            scene,
+            camera,
+            cfg,
+            jnp.asarray(frame, jnp.uint32) + row,
+            y0=band * bh,
+            band_height=bh,
+            interpret=interpret,
+        )
+        img = lax.pmean(img, axis_name="spp")
+        segs = lax.psum(segs, axis_name=("spp", "tiles"))
+        return img, segs
+
+    img, segs = shard_map(
+        shard_fn,
+        mesh=mesh,
+        in_specs=(P(),),
+        out_specs=(P("tiles"), P()),
+        check_vma=False,
+    )(frame)
+    return img[: cfg.height], segs
+
+
 def render_frame_sharded(
     scene: Scene, camera: Camera, cfg: RenderConfig, frame, mesh: Mesh
 ):
