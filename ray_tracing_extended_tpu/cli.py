@@ -72,16 +72,24 @@ def cmd_render(args):
     if cam is None:
         raise SystemExit("scene has no camera; pass a preset or add one")
     metrics = MetricsLogger(args.metrics, echo=args.verbose)
-    img = render_progressive(
-        scene,
-        cam,
-        cfg,
-        frames=args.frames,
-        checkpoint_path=args.checkpoint,
-        checkpoint_every=args.checkpoint_every,
-        resume=args.resume,
-        metrics=metrics,
-    )
+    import contextlib
+
+    prof = contextlib.nullcontext()
+    if args.profile:
+        from .utils.profiling import trace
+
+        prof = trace(args.profile)
+    with prof:
+        img = render_progressive(
+            scene,
+            cam,
+            cfg,
+            frames=args.frames,
+            checkpoint_path=args.checkpoint,
+            checkpoint_every=args.checkpoint_every,
+            resume=args.resume,
+            metrics=metrics,
+        )
     metrics.close()
     if args.out:
         from .utils.image import save_png
@@ -155,6 +163,8 @@ def main(argv=None):
     r.add_argument("--checkpoint-every", type=int, default=0)
     r.add_argument("--resume", action="store_true")
     r.add_argument("--metrics", default=None)
+    r.add_argument("--profile", default=None,
+                   help="dump a jax.profiler trace (xplane) to this dir")
     r.add_argument("--verbose", action="store_true")
     r.set_defaults(fn=cmd_render)
 

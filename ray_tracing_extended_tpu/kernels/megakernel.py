@@ -16,12 +16,21 @@ Layout rules (all lane-major, zero transposes):
     is (32 prims on sublanes) x (128 rays on lanes), built by broadcasting a
     (32, 1) parameter column (lane-dim slice of the packed (SUB, 8) cluster
     table - free) against a (1, 128) ray row (sublane slice - free);
-  * per-sub-cluster AABB culls on the whole tile with ``lax.cond`` skipping
-    unreachable clusters (the per-tile lift of RayTracing.shader:279-281);
-    dead rays are parked at +1e9 pointing away so finished lanes never
-    trigger cluster visits;
+  * per-sub-cluster AABB culls on the whole tile, gated with ``pl.when``
+    over VMEM scratch accumulators so skipped clusters genuinely branch
+    away (``lax.cond`` is predicated by Mosaic - both arms execute); this
+    is the per-tile lift of the reference's per-chunk AABB gate
+    (RayTracing.shader:279-281). Dead rays are parked at +1e9 pointing
+    away with zeroed throughput, so they fail every cull and their env
+    re-adds multiply zero - no explicit liveness mask exists (masked
+    self-referential loop carries trip Mosaic layout inference);
   * material/geometry fetch: ONE one-hot MXU contraction per ray row -
     (FETCH_ROWS, n_slots) @ (n_slots, 128) - instead of 17 XLA gathers.
+
+The bounce loop is STATICALLY UNROLLED (max_bounce + 1 copies): scf loop
+carries of masked-updated vectors hit Mosaic relayout bugs, and unrolling
+also lets scene-feature flags (no-tris / no-dielectric / no-checker /
+no-sun...) compile out unreachable shading code per scene.
 
 Semantics: full Trace parity (checker / invisible-light flags, specular
 lottery, cosine scatter, Russian roulette order and draw counts, env light,

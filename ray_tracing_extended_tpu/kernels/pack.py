@@ -1,10 +1,9 @@
-"""Scene packing for the Pallas closest-hit kernel.
+"""Scene packing for the Pallas kernels (wavefront closest-hit and the
+fused megakernel).
 
-Layout is driven by the kernel's compute shape (see kernels/wavefront.py):
-rays live one-per-VPU-lane as (rows, 1) columns and primitives are tested
-128 at a time as (1, 128) lane rows, so every (ray x primitive) quantity is a
-dense lane-aligned (rows, 128) VPU tile and primitive parameters are loaded
-as whole 128-wide vector rows - zero scalar loads in the hot loop.
+Layouts are driven by the kernels' compute shapes: every (ray x primitive)
+quantity is a dense lane-aligned VPU tile and primitive parameters are
+loaded as whole vector rows/columns - zero scalar loads in the hot loops.
 
   * primitives are Morton-sorted by centroid and grouped into clusters of
     128 (spatially tight thanks to the Morton order);
