@@ -27,7 +27,7 @@ def main():
     from ray_tracing_extended_tpu.render import render_frame_with_stats
 
     scene, camera, cfg = rtiow_final_scene(
-        width=1920, height=1080, max_bounce=4, spp=1
+        width=1920, height=1080, max_bounce=4, spp=16
     )
 
     # Warmup/compile + segment count (frame 0).
@@ -35,16 +35,19 @@ def main():
     img.block_until_ready()
     assert not np.isnan(np.asarray(img)).any(), "NaNs in benchmark render"
 
-    # Timed steady-state frames.
+    # Timed steady-state frames, dispatch-pipelined like a real progressive
+    # render: the segment counter accumulates on device and the host syncs
+    # once at the end (per-frame host syncs would measure tunnel latency,
+    # not render throughput).
     n_frames = 4
-    total_segs = 0
+    total = jnp.uint32(0)
     t0 = time.perf_counter()
     for f in range(1, n_frames + 1):
         img, segs = render_frame_with_stats(
             scene, camera, cfg, jnp.uint32(f)
         )
-        total_segs += int(segs)
-    img.block_until_ready()
+        total = total + segs
+    total_segs = int(total)
     dt = time.perf_counter() - t0
 
     mrays = total_segs / dt / 1e6
