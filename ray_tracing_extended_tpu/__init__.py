@@ -35,7 +35,12 @@ from .models.geometry import (
 from .models.scene import Material, SceneBuilder
 from .ops.camera import Camera, camera_from_matrix, look_at
 from .ops.accumulate import accumulate
-from .render import render_and_accumulate, render_frame
+from .progressive import render_progressive
+from .render import (
+    render_and_accumulate,
+    render_frame,
+    render_frame_with_stats,
+)
 from .utils.config import RenderConfig
 
 __version__ = "0.1.0"
@@ -61,4 +66,6 @@ __all__ = [
     "look_at",
     "render_and_accumulate",
     "render_frame",
+    "render_frame_with_stats",
+    "render_progressive",
 ]

@@ -36,12 +36,17 @@ def _load_scene(spec: str, args):
         from .models import presets
 
         name = spec.split(":", 1)[1]
-        fn = {
+        table = {
             "three_sphere": presets.three_sphere_scene,
             "rtiow": presets.rtiow_final_scene,
             "cornell": presets.cornell_box_scene,
             "mesh": presets.mesh_scene,
-        }[name]
+        }
+        fn = table.get(name)
+        if fn is None:
+            raise SystemExit(
+                f"unknown preset {name!r}; available: {sorted(table)}"
+            )
         scene, cam, cfg = fn()
         if overrides:
             cfg = dataclasses.replace(cfg, **overrides)
