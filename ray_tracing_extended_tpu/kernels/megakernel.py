@@ -143,6 +143,15 @@ def _render_kernel(
     out_segs_ref,  # (ROWS, 128) int32
     best_t_ref,  # VMEM scratch (ROWS, 128) f32
     best_code_ref,  # VMEM scratch (ROWS, 128) f32
+    # per-sample bounce state in VMEM scratch: lets each unrolled bounce
+    # body hang off a pl.when(any lane alive) so fully-dead tiles (e.g.
+    # all-sky after bounce 0) skip the remaining bounces entirely
+    s_st_ref,  # uint32 RNG state
+    s_ox_ref, s_oy_ref, s_oz_ref,
+    s_dx_ref, s_dy_ref, s_dz_ref,
+    s_ir_ref, s_ig_ref, s_ib_ref,
+    s_cr_ref, s_cg_ref, s_cb_ref,
+    s_segs_ref,  # int32
     *,
     spp: int,
     max_bounce: int,
@@ -405,12 +414,20 @@ def _render_kernel(
         Carrying a self-referential mask through the loop trips Mosaic
         layout inference; the throughput encoding sidesteps it entirely.
         """
-        inc_r = zero_f
-        inc_g = zero_f
-        inc_b = zero_f
-        col_r = zero_f + 1.0
-        col_g = zero_f + 1.0
-        col_b = zero_f + 1.0
+        s_st_ref[...] = state
+        s_ox_ref[...] = ox
+        s_oy_ref[...] = oy
+        s_oz_ref[...] = oz
+        s_dx_ref[...] = dx
+        s_dy_ref[...] = dy
+        s_dz_ref[...] = dz
+        s_ir_ref[...] = zero_f
+        s_ig_ref[...] = zero_f
+        s_ib_ref[...] = zero_f
+        s_cr_ref[...] = zero_f + 1.0
+        s_cg_ref[...] = zero_f + 1.0
+        s_cb_ref[...] = zero_f + 1.0
+        s_segs_ref[...] = segs
 
         def body2(bounce, c):
             (state, ox, oy, oz, dx, dy, dz,
@@ -619,19 +636,42 @@ def _render_kernel(
                 inc_r3, inc_g3, inc_b3, col_r2, col_g2, col_b2, segs,
             )
 
-        carry = (
-            state, ox, oy, oz, dx, dy, dz,
-            inc_r, inc_g, inc_b, col_r, col_g, col_b, segs,
-        )
+        def bounce_step(bounce):
+            carry = (
+                s_st_ref[...],
+                s_ox_ref[...], s_oy_ref[...], s_oz_ref[...],
+                s_dx_ref[...], s_dy_ref[...], s_dz_ref[...],
+                s_ir_ref[...], s_ig_ref[...], s_ib_ref[...],
+                s_cr_ref[...], s_cg_ref[...], s_cb_ref[...],
+                s_segs_ref[...],
+            )
+            out = body2(bounce, carry)
+            (s_st_ref[...], s_ox_ref[...], s_oy_ref[...], s_oz_ref[...],
+             s_dx_ref[...], s_dy_ref[...], s_dz_ref[...],
+             s_ir_ref[...], s_ig_ref[...], s_ib_ref[...],
+             s_cr_ref[...], s_cg_ref[...], s_cb_ref[...],
+             s_segs_ref[...]) = out
+
         # Static unroll: scf loop carries of masked-updated vectors trip
-        # Mosaic layout inference ("invalid relayout" on yields); unrolled
-        # bounces have no carries at all. Bounce counts are <= 32
-        # (RayTracingManager.cs:12), and large-bounce scenes use the XLA
-        # path.
+        # Mosaic layout inference ("invalid relayout" on yields). From
+        # bounce 1 on, each bounce hangs off pl.when(any lane alive): tiles
+        # whose rays all died (all-sky tiles die at bounce 0) skip the
+        # remaining bounce bodies entirely.
         for bounce in range(max_bounce + 1):
-            carry = body2(bounce, carry)
-        out = carry
-        return out[0], out[7], out[8], out[9], out[13]
+            if bounce == 0:
+                bounce_step(0)
+            else:
+                alive_any = jnp.any(
+                    (s_cr_ref[...] > 0.0)
+                    | (s_cg_ref[...] > 0.0)
+                    | (s_cb_ref[...] > 0.0)
+                )
+                pl.when(alive_any)(functools.partial(bounce_step, bounce))
+        return (
+            s_st_ref[...],
+            s_ir_ref[...], s_ig_ref[...], s_ib_ref[...],
+            s_segs_ref[...],
+        )
 
     def spp_body(_, carry):
         state, tr, tg, tb, segs = carry
@@ -771,6 +811,9 @@ def render_frame_mega(
         scratch_shapes=[
             pltpu.VMEM((ROWS, LANES), jnp.float32),
             pltpu.VMEM((ROWS, LANES), jnp.float32),
+            pltpu.VMEM((ROWS, LANES), jnp.uint32),
+        ] + [pltpu.VMEM((ROWS, LANES), jnp.float32)] * 12 + [
+            pltpu.VMEM((ROWS, LANES), jnp.int32),
         ],
     )
     r, g, b, segs = pl.pallas_call(

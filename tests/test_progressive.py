@@ -1,0 +1,64 @@
+"""Progressive driver: checkpoint/resume semantics and metrics output."""
+
+import json
+
+import numpy as np
+import pytest
+
+from ray_tracing_extended_tpu.models.presets import three_sphere_scene
+from ray_tracing_extended_tpu.progressive import render_progressive
+from ray_tracing_extended_tpu.utils import checkpoint as ckpt
+from ray_tracing_extended_tpu.utils.metrics import MetricsLogger
+
+
+def _setup():
+    return three_sphere_scene(width=64, height=32, spp=1)
+
+
+def test_resume_equals_straight_run(tmp_path):
+    scene, cam, cfg = _setup()
+    straight = render_progressive(scene, cam, cfg, frames=4)
+
+    ck = tmp_path / "ck.npz"
+    render_progressive(scene, cam, cfg, frames=2, checkpoint_path=str(ck))
+    resumed = render_progressive(
+        scene, cam, cfg, frames=2, checkpoint_path=str(ck), resume=True
+    )
+    assert np.allclose(resumed, straight, atol=1e-6)
+
+
+def test_resume_rejects_mismatched_config(tmp_path):
+    scene, cam, cfg = _setup()
+    ck = tmp_path / "ck.npz"
+    render_progressive(scene, cam, cfg, frames=1, checkpoint_path=str(ck))
+    import dataclasses
+
+    cfg2 = dataclasses.replace(cfg, max_bounce=cfg.max_bounce + 1)
+    with pytest.raises(ValueError, match="fingerprint mismatch"):
+        render_progressive(
+            scene, cam, cfg2, frames=1, checkpoint_path=str(ck), resume=True
+        )
+
+
+def test_metrics_jsonl(tmp_path):
+    scene, cam, cfg = _setup()
+    mpath = tmp_path / "m.jsonl"
+    logger = MetricsLogger(str(mpath))
+    render_progressive(scene, cam, cfg, frames=3, metrics=logger)
+    logger.close()
+    lines = [json.loads(l) for l in mpath.read_text().splitlines()]
+    assert len(lines) == 3
+    assert lines[0]["frame"] == 0
+    for l in lines:
+        assert l["mrays_per_s"] > 0
+        assert 1.0 <= l["rays_per_path"] <= cfg.max_bounce + 1
+
+
+def test_checkpoint_atomic_roundtrip(tmp_path):
+    img = np.random.RandomState(0).rand(8, 8, 3).astype(np.float32)
+    p = tmp_path / "c.npz"
+    ckpt.save(p, img, 7, "abc")
+    out, frame = ckpt.load(p, "abc")
+    assert frame == 7 and np.array_equal(out, img)
+    with pytest.raises(ValueError):
+        ckpt.load(p, "different")
