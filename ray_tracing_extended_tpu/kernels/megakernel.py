@@ -27,10 +27,21 @@ Layout rules (all lane-major, zero transposes):
   * material/geometry fetch: ONE one-hot MXU contraction per ray row -
     (FETCH_ROWS, n_slots) @ (n_slots, 128) - instead of 17 XLA gathers.
 
-The bounce loop is STATICALLY UNROLLED (max_bounce + 1 copies): scf loop
-carries of masked-updated vectors hit Mosaic relayout bugs, and unrolling
-also lets scene-feature flags (no-tris / no-dielectric / no-checker /
-no-sun...) compile out unreachable shading code per scene.
+Scheduling is PERSISTENT-LANE with sample re-seeding: one flat loop over
+"segment slots" (static bound spp * (max_bounce + 1), early-skipped via
+``pl.when`` once every lane finished) in which a lane whose path died on
+the previous slot immediately starts its NEXT camera sample instead of
+idling until the rest of the tile finishes the bounce. This is the TPU
+equivalent of persistent-threads wavefront compaction: measured live-lane
+occupancy rises from ~rays_per_path/(max_bounce+1) (~32% on RTIOW) to the
+per-tile max-lane ratio. Per-lane RNG draw order is IDENTICAL to the
+reference's sequential sample loop (sample k's camera draws happen right
+after sample k-1's last scatter draw on that lane), so outputs are
+bit-compatible with the former unrolled scheme. All per-lane state lives
+in VMEM scratch refs - scf loop carries of masked-updated vectors hit
+Mosaic relayout bugs, refs sidestep them. Scene-feature flags (no-tris /
+no-dielectric / no-checker / no-sun...) still compile out unreachable
+shading code per scene.
 
 Semantics: full Trace parity (checker / invisible-light flags, specular
 lottery, cosine scatter, Russian roulette order and draw counts, env light,
@@ -131,29 +142,46 @@ def _norm3(x, y, z):
 
 def _render_kernel(
     ip_ref,  # SMEM int32 (3,): [frame, n_pix(unused), y0 band offset]
-    fp_ref,  # SMEM f32 (32,): camera + environment params
+    sperm_ref,  # SMEM int32 (NSs,): front-to-back sphere-cluster order
+    tperm_ref,  # SMEM int32 (max(NSt,1),): front-to-back tri-cluster order
+    # SMEM f32 (36,): camera + environment params. Index layout (must match
+    # the fparams concatenation in render_frame_mega):
+    #   0-2  cam position      3-11 cam rotation (row-major 3x3)
+    #   12   plane_w   13 plane_h   14 focus_dist
+    #   15   defocus_w 16 diverge_w 17 env_on
+    #   18-20 ground colour  21-23 horizon colour  24-26 zenith colour
+    #   27   sun_focus 28 sun_intensity  29-31 sun_dir  32-35 pad
+    fp_ref,
     sph_bounds_ref,  # (NSs, 8)
     sph_cols_ref,  # (NSs, SUB, 8): cx, cy, cz, r, r2, pad3
     tri_bounds_ref,  # (NSt, 8)
     tri_cols_ref,  # (NSt, SUB, 16): pa3, eab3, eac3, n3
-    fetch_ref,  # (FETCH_ROWS, n_slots)
+    fetch2_ref,  # (n_slots/128 * n_fetch_rows, 128) two-level fetch operand
     out_r_ref,  # (ROWS, 128) f32
     out_g_ref,
     out_b_ref,
     out_segs_ref,  # (ROWS, 128) int32
     best_t_ref,  # VMEM scratch (ROWS, 128) f32
     best_code_ref,  # VMEM scratch (ROWS, 128) f32
-    # per-sample bounce state in VMEM scratch: lets each unrolled bounce
-    # body hang off a pl.when(any lane alive) so fully-dead tiles (e.g.
-    # all-sky after bounce 0) skip the remaining bounces entirely
+    # persistent-lane state in VMEM scratch: every lane runs its own
+    # sample/bounce state machine; the scheduler loop re-seeds dead lanes
+    # with their next camera sample (see module docstring)
     s_st_ref,  # uint32 RNG state
     s_ox_ref, s_oy_ref, s_oz_ref,
     s_dx_ref, s_dy_ref, s_dz_ref,
-    s_ir_ref, s_ig_ref, s_ib_ref,
-    s_cr_ref, s_cg_ref, s_cb_ref,
-    s_segs_ref,  # int32
+    s_ir_ref, s_ig_ref, s_ib_ref,  # current sample's incoming light
+    s_cr_ref, s_cg_ref, s_cb_ref,  # throughput (0 = lane dead)
+    s_segs_ref,  # int32 live-segment counter (Mrays/s numerator)
+    s_tr_ref, s_tg_ref, s_tb_ref,  # banked totals over completed samples
+    s_ns_ref,  # int32 completed-sample count
+    s_bc_ref,  # int32 bounce index of the current sample
+    oh_ref,  # (128, GB*128) f32: batched within-cluster one-hot operand
+    bfet_ref,  # (n_fc*nf, GB*128) f32: batched fetch dot result
     *,
     spp: int,
+    gb: int,
+    fetch_fields: tuple,
+    nf: int,
     max_bounce: int,
     width: int,
     height: int,
@@ -214,8 +242,14 @@ def _render_kernel(
     fpy = cam1 + r10 * lx + r11 * ly + r12 * focus
     fpz = cam2 + r20 * lx + r21 * ly + r22 * focus
 
-    slots_iota = lax.broadcasted_iota(
-        jnp.int32, (n_slots, LANES), 0
+    # two-level fetch one-hot bases: within-slot-cluster (128 wide) and
+    # across slot-clusters (n_slots/128 wide)
+    s128_iota = lax.broadcasted_iota(
+        jnp.int32, (128, LANES), 0
+    ).astype(jnp.float32)
+    n_fc = n_slots // 128
+    fc_iota = lax.broadcasted_iota(
+        jnp.int32, (n_fc, LANES), 0
     ).astype(jnp.float32)
 
     def environment(dx, dy, dz):
@@ -255,6 +289,10 @@ def _render_kernel(
         best_code_ref[...] = zero_f
 
         def tile_hits(bounds_ref, c):
+            """Per-lane cluster-AABB mask (ROWS, 128): the t-bounded slab
+            test (RayTracing.shader:177-187 lifted per-tile). Parked lanes
+            (origin +1e9 heading +x) fail it, so finished rows drop out of
+            the per-row gates automatically as the tile's tail drains."""
             best_t = best_t_ref[...]
             t0x = (bounds_ref[c, 0] - ox) * inv_dx
             t1x = (bounds_ref[c, 3] - ox) * inv_dx
@@ -270,7 +308,7 @@ def _render_kernel(
                 jnp.minimum(jnp.maximum(t0x, t1x), jnp.maximum(t0y, t1y)),
                 jnp.maximum(t0z, t1z),
             )
-            return jnp.any((tf >= 0.0) & (tn <= jnp.minimum(tf, best_t)))
+            return (tf >= 0.0) & (tn <= jnp.minimum(tf, best_t))
 
         def fold_row(g, t_min, code_new):
             old_t = best_t_ref[g : g + 1, :]
@@ -279,8 +317,14 @@ def _render_kernel(
             best_t_ref[g : g + 1, :] = jnp.where(better, t_min, old_t)
             best_code_ref[g : g + 1, :] = jnp.where(better, code_new, old_c)
 
-        def sphere_cluster(c, carry):
-            pred = tile_hits(sph_bounds_ref, c) if use_cull else None
+        def sphere_cluster(ci, carry):
+            # Front-to-back: visit clusters nearest the camera first so
+            # best_t tightens early and the t-bounded slab test culls the
+            # far clusters (the reference scans chunks in storage order,
+            # RayTracing.shader:276-294; ordering is a pure perf refinement
+            # with identical closest-hit semantics).
+            c = sperm_ref[ci]
+            mask = tile_hits(sph_bounds_ref, c) if use_cull else None
 
             def visit():
                 cols = sph_cols_ref[c]  # (SUB, 8)
@@ -292,7 +336,8 @@ def _render_kernel(
                 sub_iota = lax.broadcasted_iota(
                     jnp.int32, (SUB, LANES), 0
                 ).astype(jnp.float32)
-                for g in range(ROWS):
+
+                def row_visit(g):
                     ocx = ox[g : g + 1, :] - cx  # (SUB, 128)
                     ocy = oy[g : g + 1, :] - cy
                     ocz = oz[g : g + 1, :] - cz
@@ -314,16 +359,23 @@ def _render_kernel(
                     )
                     fold_row(g, t_min, amin + (c * SUB).astype(jnp.float32))
 
+                # NOTE: row-level pl.when gates were measured at ~90 ns
+                # per scf.if on this stack - far more than the (SUB, 128)
+                # work they can skip. Gate at cluster granularity only.
+                for g in range(ROWS):
+                    row_visit(g)
+
             if use_cull:
-                pl.when(pred)(visit)
+                pl.when(jnp.any(mask))(visit)
             else:
                 visit()
             return carry
 
         lax.fori_loop(0, nss, sphere_cluster, jnp.int32(0))
 
-        def tri_cluster(c, carry):
-            pred = tile_hits(tri_bounds_ref, c) if use_cull else None
+        def tri_cluster(ci, carry):
+            c = tperm_ref[ci]
+            mask = tile_hits(tri_bounds_ref, c) if use_cull else None
 
             def visit():
                 cols = tri_cols_ref[c]  # (SUB, 16)
@@ -334,7 +386,8 @@ def _render_kernel(
                 sub_iota = lax.broadcasted_iota(
                     jnp.int32, (SUB, LANES), 0
                 ).astype(jnp.float32)
-                for g in range(ROWS):
+
+                def row_visit(g):
                     gdx = dx[g : g + 1, :]
                     gdy = dy[g : g + 1, :]
                     gdz = dz[g : g + 1, :]
@@ -369,8 +422,12 @@ def _render_kernel(
                         amin + (nss * SUB + c * SUB).astype(jnp.float32),
                     )
 
+                # Cluster-level gating only (see sphere_cluster note).
+                for g in range(ROWS):
+                    row_visit(g)
+
             if use_cull:
-                pl.when(pred)(visit)
+                pl.when(jnp.any(mask))(visit)
             else:
                 visit()
             return carry
@@ -379,329 +436,458 @@ def _render_kernel(
             lax.fori_loop(0, nst, tri_cluster, jnp.int32(0))
         return best_t_ref[...], best_code_ref[...]
 
+    # The packer selected exactly the rows this scene's feature set can
+    # read (pack.py fetch_fields); nf is that count padded to 8 sublanes.
+    n_fetch_rows = nf
+    fidx = {name: i for i, name in enumerate(fetch_fields)}
+
     def fetch(code):
         if stub_fetch:
-            return lambda i: zero_f + np.float32(0.1 + 0.01 * i)
-        """One-hot MXU fetch of (FETCH_ROWS,) per-ray rows -> dict of
-        (ROWS, 128) field arrays."""
-        rows = []
-        for g in range(ROWS):
-            onehot = (slots_iota == code[g : g + 1, :]).astype(jnp.float32)
-            rows.append(
-                jax.lax.dot_general(
-                    fetch_ref[:],
-                    onehot,
-                    dimension_numbers=(((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                )  # (FETCH_ROWS, 128)
+            return lambda name: zero_f + np.float32(
+                0.1 + 0.01 * fidx[name]
             )
+        """Two-level one-hot fetch -> field(i) accessor of (ROWS, 128)
+        arrays. Slot ids decompose as cc * 128 + ss. The 128-wide
+        within-cluster one-hots of ``gb`` ray rows are written side by
+        side into VMEM scratch and contracted in ONE wide MXU dot
+        (n_fc*nf, 128) @ (128, gb*128) - 32 narrow per-row dots ran at
+        ~30% MXU utilization (measured ~half the frame). The n_slots/128
+        cluster blocks are then combined per row with masked adds."""
+        rows = []
+        for g0 in range(0, ROWS, gb):
+            ccs = []
+            for j in range(gb):
+                codeg = code[g0 + j : g0 + j + 1, :]
+                cc = jnp.floor(codeg * np.float32(1.0 / 128.0))
+                ss = codeg - cc * np.float32(128.0)
+                ccs.append(cc)
+                oh_ref[:, j * LANES : (j + 1) * LANES] = (
+                    s128_iota == ss
+                ).astype(jnp.float32)
+            bfet_ref[...] = jax.lax.dot_general(
+                fetch2_ref[:],
+                oh_ref[...],
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # (n_fc * n_fetch_rows, gb*128)
+            for j in range(gb):
+                a_c = (fc_iota == ccs[j]).astype(jnp.float32)
+                b = bfet_ref[:, j * LANES : (j + 1) * LANES]
+                acc = b[0:n_fetch_rows] * a_c[0:1, :]
+                for c in range(1, n_fc):
+                    acc = acc + (
+                        b[c * n_fetch_rows : (c + 1) * n_fetch_rows]
+                        * a_c[c : c + 1, :]
+                    )
+                rows.append(acc)
 
-        def field(i):
+        def field(name):
+            i = fidx[name]
             return jnp.concatenate(
                 [rows[g][i : i + 1, :] for g in range(ROWS)], axis=0
             )
 
         return field
 
-    def trace_one_sample(state, ox, oy, oz, dx, dy, dz, segs):
-        """Masked bounce loop (Trace, RayTracing.shader:300-352).
+    def segment_body(state, ox, oy, oz, dx, dy, dz,
+                     inc_r, inc_g, inc_b, col_r, col_g, col_b, bc, live,
+                     t, code):
+        """Trace ONE path segment for every lane (Trace body,
+        RayTracing.shader:300-352).
 
-        No explicit alive mask is carried: a dead lane's throughput is
-        zeroed (miss / Russian-roulette kill), and liveness is re-derived
-        as ``any colour channel > 0`` - legit because a lane whose
-        throughput is exactly black cannot contribute and the reference
-        would have RR-killed it too (survive prob = max channel = 0).
-        Carrying a self-referential mask through the loop trips Mosaic
-        layout inference; the throughput encoding sidesteps it entirely.
+        No explicit alive mask is carried across iterations: a dead lane's
+        throughput is zeroed (miss / Russian-roulette kill / bounce budget
+        exhausted), and liveness is re-derived as ``any colour channel >
+        0`` - legit because a lane whose throughput is exactly black cannot
+        contribute and the reference would have RR-killed it too (survive
+        prob = max channel = 0). Dead-but-unfinished lanes were re-seeded
+        by the scheduler before this runs; finished lanes are PARKED at
+        +1e9 pointing +x so they miss everything, fail every cull, and
+        their env re-adds multiply zero throughput.
+
+        Returns the post-segment state tuple plus ``died`` (lanes whose
+        sample completed this segment - their inc must be banked).
         """
-        s_st_ref[...] = state
-        s_ox_ref[...] = ox
-        s_oy_ref[...] = oy
-        s_oz_ref[...] = oz
-        s_dx_ref[...] = dx
-        s_dy_ref[...] = dy
-        s_dz_ref[...] = dz
-        s_ir_ref[...] = zero_f
-        s_ig_ref[...] = zero_f
-        s_ib_ref[...] = zero_f
-        s_cr_ref[...] = zero_f + 1.0
-        s_cg_ref[...] = zero_f + 1.0
-        s_cb_ref[...] = zero_f + 1.0
-        s_segs_ref[...] = segs
+        hit = jnp.isfinite(t)
+        ts = jnp.where(jnp.isfinite(t), t, 0.0)
+        hpx = ox + dx * ts
+        hpy = oy + dy * ts
+        hpz = oz + dz * ts
 
-        def body2(bounce, c):
-            (state, ox, oy, oz, dx, dy, dz,
-             inc_r, inc_g, inc_b, col_r, col_g, col_b, segs) = c
-            # Dead lanes were PARKED by the previous iteration (origin at
-            # +1e9 pointing +x) and their throughput zeroed, so: they miss
-            # everything (t = inf), their env re-add contributes env * 0,
-            # and cluster culls skip them. No explicit liveness mask exists
-            # anywhere - Mosaic mishandles self-referential masked carries.
-            live = (col_r > 0.0) | (col_g > 0.0) | (col_b > 0.0)
-            segs = segs + jnp.where(live, zero_i + 1, zero_i)
+        f = fetch(code)
+        m_col_r, m_col_g, m_col_b = f("col_r"), f("col_g"), f("col_b")
+        m_sp_r, m_sp_g, m_sp_b = f("spec_r"), f("spec_g"), f("spec_b")
+        m_smooth, m_sprob = f("smooth"), f("sprob")
+        if "emissive" in features or "checker" in features:
+            m_em_r, m_em_g, m_em_b = f("em_r"), f("em_g"), f("em_b")
+        if {"checker", "invisible", "dielectric"} & set(features):
+            m_flag = f("flag")
 
+        # ---- shading normal ----
+        scx, scy, scz = f("scx"), f("scy"), f("scz")
+        nsx, nsy, nsz = _norm3(hpx - scx, hpy - scy, hpz - scz)
+        if "tris" in features:
+            is_sph = f("is_sph")
+            pax, pay, paz = f("pa_x"), f("pa_y"), f("pa_z")
+            ex1, ey1, ez1 = f("eab_x"), f("eab_y"), f("eab_z")
+            ex2, ey2, ez2 = f("eac_x"), f("eac_y"), f("eac_z")
+            gnx, gny, gnz = f("gn_x"), f("gn_y"), f("gn_z")
+            aox, aoy, aoz = ox - pax, oy - pay, oz - paz
+            daox = aoy * dz - aoz * dy
+            daoy = aoz * dx - aox * dz
+            daoz = aox * dy - aoy * dx
+            det = -(dx * gnx + dy * gny + dz * gnz)
+            inv_det = 1.0 / jnp.where(det == 0.0, np.float32(1.0), det)
+            ub = (ex2 * daox + ey2 * daoy + ez2 * daoz) * inv_det
+            vb = -(ex1 * daox + ey1 * daoy + ez1 * daoz) * inv_det
+            wb = 1.0 - ub - vb
+            ntx = f("na_x") * wb + f("nb_x") * ub + f("nc_x") * vb
+            nty = f("na_y") * wb + f("nb_y") * ub + f("nc_y") * vb
+            ntz = f("na_z") * wb + f("nb_z") * ub + f("nc_z") * vb
+            ntx, nty, ntz = _norm3(ntx, nty, ntz)
+            nx = jnp.where(is_sph > 0.5, nsx, ntx)
+            ny = jnp.where(is_sph > 0.5, nsy, nty)
+            nz = jnp.where(is_sph > 0.5, nsz, ntz)
+        else:
+            nx, ny, nz = nsx, nsy, nsz
+
+        # ---- checker flag (RayTracing.shader:313-317) ----
+        if "checker" in features:
+            fx = jnp.floor(hpx)
+            fz = jnp.floor(hpz)
+            chx = fx - 2.0 * jnp.floor(fx * 0.5)
+            chz = fz - 2.0 * jnp.floor(fz * 0.5)
+            swap = (m_flag == np.float32(FLAG_CHECKER)) & (chx != chz)
+            base_r = jnp.where(swap, m_em_r, m_col_r)
+            base_g = jnp.where(swap, m_em_g, m_col_g)
+            base_b = jnp.where(swap, m_em_b, m_col_b)
+        else:
+            base_r, base_g, base_b = m_col_r, m_col_g, m_col_b
+
+        # ---- invisible light passthrough (RayTracing.shader:318-322)
+        # bc is the per-lane bounce index of the current sample, so the
+        # camera-ray-only check is a vector compare.
+        if "invisible" in features:
+            passthru = (
+                hit
+                & (m_flag == np.float32(FLAG_INVISIBLE_LIGHT))
+                & (bc == 0)
+            )
+        else:
+            passthru = zero_i > 0  # static False, layout-anchored
+        scattering = hit & ~passthru
+
+        # ---- scatter (RayTracing.shader:325-330) ----
+        state2, u_spec = _rand(state)
+        is_spec = (m_sprob >= u_spec).astype(jnp.float32)
+        state2, ux, uy, uz = _rand_unit3(state2)
+        ddx, ddy, ddz = _norm3(nx + ux, ny + uy, nz + uz)
+        dn = dx * nx + dy * ny + dz * nz
+        sxx = dx - 2.0 * dn * nx
+        sxy = dy - 2.0 * dn * ny
+        sxz = dz - 2.0 * dn * nz
+        lerp_t = m_smooth * is_spec
+        sdx, sdy, sdz = _norm3(
+            ddx + (sxx - ddx) * lerp_t,
+            ddy + (sxy - ddy) * lerp_t,
+            ddz + (sxz - ddz) * lerp_t,
+        )
+
+        # dielectric extension (ops/materials.py semantics) -
+        # compiled out entirely for scenes with no dielectric materials
+        if "dielectric" in features:
+            entering = dn < 0.0
+            sign = jnp.where(entering, 1.0, -1.0)
+            nex, ney, nez = nx * sign, ny * sign, nz * sign
+            m_ior = f("ior")
+            eta = jnp.where(entering, 1.0 / m_ior, m_ior)
+            cos_t = jnp.minimum(-(dx * nex + dy * ney + dz * nez), 1.0)
+            sin_t = jnp.sqrt(jnp.maximum(1.0 - cos_t * cos_t, 0.0))
+            cannot = eta * sin_t > 1.0
+            r0 = (1.0 - eta) / (1.0 + eta)
+            r0 = r0 * r0
+            om = 1.0 - cos_t
+            om2 = om * om
+            schlick = r0 + (1.0 - r0) * om2 * om2 * om
+            refl = cannot | (schlick > u_spec)
+            rpx = eta * (dx + cos_t * nex)
+            rpy = eta * (dy + cos_t * ney)
+            rpz = eta * (dz + cos_t * nez)
+            k = jnp.sqrt(
+                jnp.maximum(
+                    1.0 - (rpx * rpx + rpy * rpy + rpz * rpz), 0.0
+                )
+            )
+            rfx = rpx - k * nex
+            rfy = rpy - k * ney
+            rfz = rpz - k * nez
+            den = dx * nex + dy * ney + dz * nez
+            glx = jnp.where(refl, dx - 2.0 * den * nex, rfx)
+            gly = jnp.where(refl, dy - 2.0 * den * ney, rfy)
+            glz = jnp.where(refl, dz - 2.0 * den * nez, rfz)
+            is_diel = m_flag == np.float32(FLAG_DIELECTRIC)
+            ndx = jnp.where(is_diel, glx, sdx)
+            ndy = jnp.where(is_diel, gly, sdy)
+            ndz = jnp.where(is_diel, glz, sdz)
+            d_eps = jnp.where(is_diel, np.float32(1e-4), 0.0)
+            is_spec = jnp.where(is_diel, 0.0, is_spec)
+        else:
+            ndx, ndy, ndz = sdx, sdy, sdz
+            d_eps = zero_f
+
+        # ---- light update (RayTracing.shader:333-335); scenes with no
+        # emissive material compile the emission term (and its fetch rows)
+        # out entirely ----
+        if "emissive" in features:
+            em = f("estr")
+            inc_r2 = inc_r + m_em_r * em * col_r
+            inc_g2 = inc_g + m_em_g * em * col_g
+            inc_b2 = inc_b + m_em_b * em * col_b
+        else:
+            inc_r2, inc_g2, inc_b2 = inc_r, inc_g, inc_b
+        cr2 = col_r * (base_r + (m_sp_r - base_r) * is_spec)
+        cg2 = col_g * (base_g + (m_sp_g - base_g) * is_spec)
+        cb2 = col_b * (base_b + (m_sp_b - base_b) * is_spec)
+
+        # ---- Russian roulette (RayTracing.shader:337-342) ----
+        p = jnp.maximum(cr2, jnp.maximum(cg2, cb2))
+        state2, u_rr = _rand(state2)
+        survive = u_rr < p
+        inv_p = 1.0 / jnp.maximum(p, np.float32(1e-30))
+
+        # ---- miss: environment ----
+        er, eg, eb = environment(dx, dy, dz)
+        missed = ~hit  # env re-adds on long-dead lanes multiply 0 colour
+
+        sc = scattering
+        # The RNG state only advances on scattering lanes (matching the
+        # shader's inout rngState). NOTE: a uint32 vector select trips a
+        # Mosaic relayout bug, so select arithmetically in uint32.
+        sel = pltpu.bitcast(jnp.where(sc, zero_i + 1, zero_i), jnp.uint32)
+        st_fix = state2 * sel + state * (_U(1) - sel)
+        ox2 = jnp.where(passthru, hpx + dx * 0.001,
+                        jnp.where(sc, hpx + ndx * d_eps, ox))
+        oy2 = jnp.where(passthru, hpy + dy * 0.001,
+                        jnp.where(sc, hpy + ndy * d_eps, oy))
+        oz2 = jnp.where(passthru, hpz + dz * 0.001,
+                        jnp.where(sc, hpz + ndz * d_eps, oz))
+        dx2 = jnp.where(sc, ndx, dx)
+        dy2 = jnp.where(sc, ndy, dy)
+        dz2 = jnp.where(sc, ndz, dz)
+        inc_r3 = jnp.where(sc, inc_r2,
+                           jnp.where(missed, inc_r + er * col_r, inc_r))
+        inc_g3 = jnp.where(sc, inc_g2,
+                           jnp.where(missed, inc_g + eg * col_g, inc_g))
+        inc_b3 = jnp.where(sc, inc_b2,
+                           jnp.where(missed, inc_b + eb * col_b, inc_b))
+        scs = sc & survive
+        # Bounce budget: the reference loop runs indices 0..max_bounce
+        # inclusive (RayTracing.shader:305); a path still alive after its
+        # segment at index max_bounce simply ends.
+        can_cont = bc < max_bounce
+        cc_f = jnp.where(can_cont, zero_f + 1.0, zero_f)
+        # Death = zeroed throughput: lanes that missed, failed Russian
+        # roulette, exhausted the bounce budget, or were already dead land
+        # in the zero branch. Arithmetic mask blend: a where-select on a
+        # self-referential carry (col -> live -> masks -> col) trips Mosaic
+        # layout inference; multiply-add of 0/1 masks compiles fine (same
+        # trick as the RNG state select above).
+        pass_f = jnp.where(passthru, zero_f + 1.0, zero_f) * cc_f
+        scs_f = jnp.where(scs, zero_f + 1.0, zero_f) * cc_f
+        boost_r = cr2 * inv_p
+        boost_g = cg2 * inv_p
+        boost_b = cb2 * inv_p
+        col_r2 = col_r * pass_f + boost_r * scs_f
+        col_g2 = col_g * pass_f + boost_g * scs_f
+        col_b2 = col_b * pass_f + boost_b * scs_f
+        # arithmetic parking: lanes that died this bounce (neither
+        # passthrough nor scatter+survive) move to +1e9 heading +x
+        live_f = pass_f + scs_f  # 0.0 or 1.0, disjoint masks
+        dead_f = 1.0 - live_f
+        ox2 = ox2 * live_f + np.float32(1.0e9) * dead_f
+        oy2 = oy2 * live_f + np.float32(1.0e9) * dead_f
+        oz2 = oz2 * live_f + np.float32(1.0e9) * dead_f
+        dx2 = dx2 * live_f + dead_f
+        dy2 = dy2 * live_f
+        dz2 = dz2 * live_f + np.float32(1e-9) * dead_f
+        # A sample completed this segment iff its lane was live and did
+        # not continue; its accumulated light is banked by the scheduler.
+        died = live & ~((passthru | scs) & can_cont)
+        return (
+            st_fix, ox2, oy2, oz2, dx2, dy2, dz2,
+            inc_r3, inc_g3, inc_b3, col_r2, col_g2, col_b2, died,
+        )
+
+    # ------------------ persistent-lane scheduler ---------------------
+    # Lane state machine: dead (throughput 0) with samples left -> re-seed
+    # with the next camera sample, then trace; alive -> trace one segment;
+    # dead with all samples done -> parked no-op. The static slot bound
+    # spp * (max_bounce + 1) is the worst case (every sample surviving the
+    # full bounce budget); real tiles finish in ~spp * rays_per_path slots
+    # and pl.when makes the remaining slots a cheap any-reduce.
+    s_st_ref[...] = seed
+    s_ox_ref[...] = zero_f + np.float32(1.0e9)
+    s_oy_ref[...] = zero_f + np.float32(1.0e9)
+    s_oz_ref[...] = zero_f + np.float32(1.0e9)
+    s_dx_ref[...] = zero_f + 1.0
+    s_dy_ref[...] = zero_f
+    s_dz_ref[...] = zero_f + np.float32(1e-9)
+    s_ir_ref[...] = zero_f
+    s_ig_ref[...] = zero_f
+    s_ib_ref[...] = zero_f
+    s_cr_ref[...] = zero_f
+    s_cg_ref[...] = zero_f
+    s_cb_ref[...] = zero_f
+    s_segs_ref[...] = zero_i
+    s_tr_ref[...] = zero_f
+    s_tg_ref[...] = zero_f
+    s_tb_ref[...] = zero_f
+    s_ns_ref[...] = zero_i
+    s_bc_ref[...] = zero_i
+
+    def slot_body(_, carry):
+        col_r = s_cr_ref[...]
+        col_g = s_cg_ref[...]
+        col_b = s_cb_ref[...]
+        live0 = (col_r > 0.0) | (col_g > 0.0) | (col_b > 0.0)
+        ns = s_ns_ref[...]
+
+        @pl.when(jnp.any(live0 | (ns < spp)))
+        def _():
+            need = (~live0) & (ns < spp)
+
+            # ---- re-seed dead lanes with their next camera sample ----
+            # (frag, RayTracing.shader:374-385: defocus origin jitter on
+            # the cam right/up disc + diverge target jitter). The RNG
+            # state advances ONLY on re-seeding lanes, so every lane's
+            # draw sequence is identical to the reference's sequential
+            # sample loop: sample k's camera draws happen right after
+            # sample k-1's last scatter draw.
+            @pl.when(jnp.any(need))
+            def _():
+                state = s_st_ref[...]
+                st2, cjx, cjy = _rand_circle(state)
+                cjx = cjx * defocus_w
+                cjy = cjy * defocus_w
+                # camRight = column 0 of R = (r00, r10, r20); camUp =
+                # column 1 (RayTracing.shader:367-368).
+                rox = cam0 + r00 * cjx + r01 * cjy
+                roy = cam1 + r10 * cjx + r11 * cjy
+                roz = cam2 + r20 * cjx + r21 * cjy
+                st2, jx, jy = _rand_circle(st2)
+                jx = jx * diverge_w
+                jy = jy * diverge_w
+                tx = fpx + r00 * jx + r01 * jy
+                ty = fpy + r10 * jx + r11 * jy
+                tz = fpz + r20 * jx + r21 * jy
+                rdx, rdy, rdz = _norm3(tx - rox, ty - roy, tz - roz)
+                sel = pltpu.bitcast(
+                    jnp.where(need, zero_i + 1, zero_i), jnp.uint32
+                )
+                s_st_ref[...] = st2 * sel + state * (_U(1) - sel)
+                nf = jnp.where(need, zero_f + 1.0, zero_f)
+                kf = 1.0 - nf
+                s_ox_ref[...] = rox * nf + s_ox_ref[...] * kf
+                s_oy_ref[...] = roy * nf + s_oy_ref[...] * kf
+                s_oz_ref[...] = roz * nf + s_oz_ref[...] * kf
+                s_dx_ref[...] = rdx * nf + s_dx_ref[...] * kf
+                s_dy_ref[...] = rdy * nf + s_dy_ref[...] * kf
+                s_dz_ref[...] = rdz * nf + s_dz_ref[...] * kf
+                s_cr_ref[...] = nf + s_cr_ref[...] * kf
+                s_cg_ref[...] = nf + s_cg_ref[...] * kf
+                s_cb_ref[...] = nf + s_cb_ref[...] * kf
+                s_bc_ref[...] = jnp.where(need, zero_i, s_bc_ref[...])
+
+            live = live0 | need
+            s_segs_ref[...] = s_segs_ref[...] + jnp.where(
+                live, zero_i + 1, zero_i
+            )
+
+            ox = s_ox_ref[...]
+            oy = s_oy_ref[...]
+            oz = s_oz_ref[...]
+            dx = s_dx_ref[...]
+            dy = s_dy_ref[...]
+            dz = s_dz_ref[...]
             if stub_intersect:
                 t, code = zero_f + 2.0, zero_f
             else:
                 t, code = intersect(ox, oy, oz, dx, dy, dz)
-            hit = jnp.isfinite(t)
-            ts = jnp.where(jnp.isfinite(t), t, 0.0)
-            hpx = ox + dx * ts
-            hpy = oy + dy * ts
-            hpz = oz + dz * ts
+            any_hit = jnp.any(jnp.isfinite(t))
 
-            f = fetch(code)
-            m_col_r, m_col_g, m_col_b = f(0), f(1), f(2)
-            m_em_r, m_em_g, m_em_b = f(3), f(4), f(5)
-            m_sp_r, m_sp_g, m_sp_b = f(6), f(7), f(8)
-            m_estr, m_smooth, m_sprob = f(9), f(10), f(11)
-            m_flag, m_ior, is_sph = f(12), f(13), f(14)
-
-            # ---- shading normal ----
-            scx, scy, scz = f(15), f(16), f(17)
-            nsx, nsy, nsz = _norm3(hpx - scx, hpy - scy, hpz - scz)
-            if "tris" in features:
-                pax, pay, paz = f(18), f(19), f(20)
-                ex1, ey1, ez1 = f(21), f(22), f(23)
-                ex2, ey2, ez2 = f(24), f(25), f(26)
-                gnx, gny, gnz = f(36), f(37), f(38)
-                aox, aoy, aoz = ox - pax, oy - pay, oz - paz
-                daox = aoy * dz - aoz * dy
-                daoy = aoz * dx - aox * dz
-                daoz = aox * dy - aoy * dx
-                det = -(dx * gnx + dy * gny + dz * gnz)
-                inv_det = 1.0 / jnp.where(det == 0.0, np.float32(1.0), det)
-                ub = (ex2 * daox + ey2 * daoy + ez2 * daoz) * inv_det
-                vb = -(ex1 * daox + ey1 * daoy + ez1 * daoz) * inv_det
-                wb = 1.0 - ub - vb
-                ntx = f(27) * wb + f(30) * ub + f(33) * vb
-                nty = f(28) * wb + f(31) * ub + f(34) * vb
-                ntz = f(29) * wb + f(32) * ub + f(35) * vb
-                ntx, nty, ntz = _norm3(ntx, nty, ntz)
-                nx = jnp.where(is_sph > 0.5, nsx, ntx)
-                ny = jnp.where(is_sph > 0.5, nsy, nty)
-                nz = jnp.where(is_sph > 0.5, nsz, ntz)
-            else:
-                nx, ny, nz = nsx, nsy, nsz
-
-            # ---- checker flag (RayTracing.shader:313-317) ----
-            if "checker" in features:
-                fx = jnp.floor(hpx)
-                fz = jnp.floor(hpz)
-                chx = fx - 2.0 * jnp.floor(fx * 0.5)
-                chz = fz - 2.0 * jnp.floor(fz * 0.5)
-                swap = (m_flag == np.float32(FLAG_CHECKER)) & (chx != chz)
-                base_r = jnp.where(swap, m_em_r, m_col_r)
-                base_g = jnp.where(swap, m_em_g, m_col_g)
-                base_b = jnp.where(swap, m_em_b, m_col_b)
-            else:
-                base_r, base_g, base_b = m_col_r, m_col_g, m_col_b
-
-            # ---- invisible light passthrough (RayTracing.shader:318-322)
-            # (zero_i + bounce) keeps the scalar comparison vector-anchored;
-            # a raw scalar-bool broadcast propagates a replicated layout into
-            # the alive carry and trips the Mosaic relayout bug.
-            if "invisible" in features and bounce == 0:
-                passthru = hit & (
-                    m_flag == np.float32(FLAG_INVISIBLE_LIGHT)
+            # ---- full path: at least one lane hit geometry ----
+            @pl.when(any_hit)
+            def _():
+                out = segment_body(
+                    s_st_ref[...], ox, oy, oz, dx, dy, dz,
+                    s_ir_ref[...], s_ig_ref[...], s_ib_ref[...],
+                    s_cr_ref[...], s_cg_ref[...], s_cb_ref[...],
+                    s_bc_ref[...], live, t, code,
                 )
-            else:
-                passthru = zero_i > 0  # static False, layout-anchored
-            scattering = hit & ~passthru
-
-            # ---- scatter (RayTracing.shader:325-330) ----
-            state2, u_spec = _rand(state)
-            is_spec = (m_sprob >= u_spec).astype(jnp.float32)
-            state2, ux, uy, uz = _rand_unit3(state2)
-            ddx, ddy, ddz = _norm3(nx + ux, ny + uy, nz + uz)
-            dn = dx * nx + dy * ny + dz * nz
-            sxx = dx - 2.0 * dn * nx
-            sxy = dy - 2.0 * dn * ny
-            sxz = dz - 2.0 * dn * nz
-            lerp_t = m_smooth * is_spec
-            sdx, sdy, sdz = _norm3(
-                ddx + (sxx - ddx) * lerp_t,
-                ddy + (sxy - ddy) * lerp_t,
-                ddz + (sxz - ddz) * lerp_t,
-            )
-
-            # dielectric extension (ops/materials.py semantics) -
-            # compiled out entirely for scenes with no dielectric materials
-            if "dielectric" in features:
-                entering = dn < 0.0
-                sign = jnp.where(entering, 1.0, -1.0)
-                nex, ney, nez = nx * sign, ny * sign, nz * sign
-                eta = jnp.where(entering, 1.0 / m_ior, m_ior)
-                cos_t = jnp.minimum(-(dx * nex + dy * ney + dz * nez), 1.0)
-                sin_t = jnp.sqrt(jnp.maximum(1.0 - cos_t * cos_t, 0.0))
-                cannot = eta * sin_t > 1.0
-                r0 = (1.0 - eta) / (1.0 + eta)
-                r0 = r0 * r0
-                om = 1.0 - cos_t
-                om2 = om * om
-                schlick = r0 + (1.0 - r0) * om2 * om2 * om
-                refl = cannot | (schlick > u_spec)
-                rpx = eta * (dx + cos_t * nex)
-                rpy = eta * (dy + cos_t * ney)
-                rpz = eta * (dz + cos_t * nez)
-                k = jnp.sqrt(
-                    jnp.maximum(
-                        1.0 - (rpx * rpx + rpy * rpy + rpz * rpz), 0.0
-                    )
+                (st2, ox2, oy2, oz2, dx2, dy2, dz2,
+                 inc_r, inc_g, inc_b, col_r2, col_g2, col_b2, died) = out
+                s_st_ref[...] = st2
+                s_ox_ref[...] = ox2
+                s_oy_ref[...] = oy2
+                s_oz_ref[...] = oz2
+                s_dx_ref[...] = dx2
+                s_dy_ref[...] = dy2
+                s_dz_ref[...] = dz2
+                s_cr_ref[...] = col_r2
+                s_cg_ref[...] = col_g2
+                s_cb_ref[...] = col_b2
+                s_bc_ref[...] = s_bc_ref[...] + jnp.where(
+                    live, zero_i + 1, zero_i
                 )
-                rfx = rpx - k * nex
-                rfy = rpy - k * ney
-                rfz = rpz - k * nez
-                den = dx * nex + dy * ney + dz * nez
-                glx = jnp.where(refl, dx - 2.0 * den * nex, rfx)
-                gly = jnp.where(refl, dy - 2.0 * den * ney, rfy)
-                glz = jnp.where(refl, dz - 2.0 * den * nez, rfz)
-                is_diel = m_flag == np.float32(FLAG_DIELECTRIC)
-                ndx = jnp.where(is_diel, glx, sdx)
-                ndy = jnp.where(is_diel, gly, sdy)
-                ndz = jnp.where(is_diel, glz, sdz)
-                d_eps = jnp.where(is_diel, np.float32(1e-4), 0.0)
-                is_spec = jnp.where(is_diel, 0.0, is_spec)
-            else:
-                ndx, ndy, ndz = sdx, sdy, sdz
-                d_eps = zero_f
+                # bank completed samples' light; keep in-flight inc
+                df = jnp.where(died, zero_f + 1.0, zero_f)
+                kf = 1.0 - df
+                s_tr_ref[...] = s_tr_ref[...] + inc_r * df
+                s_tg_ref[...] = s_tg_ref[...] + inc_g * df
+                s_tb_ref[...] = s_tb_ref[...] + inc_b * df
+                s_ir_ref[...] = inc_r * kf
+                s_ig_ref[...] = inc_g * kf
+                s_ib_ref[...] = inc_b * kf
+                s_ns_ref[...] = ns + jnp.where(died, zero_i + 1, zero_i)
 
-            # ---- light update (RayTracing.shader:333-335) ----
-            em = m_estr
-            inc_r2 = inc_r + m_em_r * em * col_r
-            inc_g2 = inc_g + m_em_g * em * col_g
-            inc_b2 = inc_b + m_em_b * em * col_b
-            cr2 = col_r * (base_r + (m_sp_r - base_r) * is_spec)
-            cg2 = col_g * (base_g + (m_sp_g - base_g) * is_spec)
-            cb2 = col_b * (base_b + (m_sp_b - base_b) * is_spec)
+            # ---- lean path: EVERY lane missed (sky tiles, drained tails)
+            # - no scatter draws happen (parity: the reference only draws
+            # inside the didHit branch), every live sample terminates on
+            # the environment, so fetch + shading are skipped outright.
+            @pl.when(jnp.logical_not(any_hit))
+            def _():
+                er, eg, eb = environment(dx, dy, dz)
+                lf = jnp.where(live, zero_f + 1.0, zero_f)
+                inc_r = s_ir_ref[...] + er * s_cr_ref[...]
+                inc_g = s_ig_ref[...] + eg * s_cg_ref[...]
+                inc_b = s_ib_ref[...] + eb * s_cb_ref[...]
+                s_tr_ref[...] = s_tr_ref[...] + inc_r * lf
+                s_tg_ref[...] = s_tg_ref[...] + inc_g * lf
+                s_tb_ref[...] = s_tb_ref[...] + inc_b * lf
+                kf = 1.0 - lf
+                s_ir_ref[...] = inc_r * kf
+                s_ig_ref[...] = inc_g * kf
+                s_ib_ref[...] = inc_b * kf
+                s_ns_ref[...] = ns + jnp.where(live, zero_i + 1, zero_i)
+                s_cr_ref[...] = zero_f
+                s_cg_ref[...] = zero_f
+                s_cb_ref[...] = zero_f
+                s_ox_ref[...] = zero_f + np.float32(1.0e9)
+                s_oy_ref[...] = zero_f + np.float32(1.0e9)
+                s_oz_ref[...] = zero_f + np.float32(1.0e9)
+                s_dx_ref[...] = zero_f + 1.0
+                s_dy_ref[...] = zero_f
+                s_dz_ref[...] = zero_f + np.float32(1e-9)
 
-            # ---- Russian roulette (RayTracing.shader:337-342) ----
-            p = jnp.maximum(cr2, jnp.maximum(cg2, cb2))
-            state2, u_rr = _rand(state2)
-            survive = u_rr < p
-            inv_p = 1.0 / jnp.maximum(p, np.float32(1e-30))
+        return carry
 
-            # ---- miss: environment ----
-            er, eg, eb = environment(dx, dy, dz)
-            missed = ~hit  # env re-adds on long-dead lanes multiply 0 colour
+    lax.fori_loop(0, spp * (max_bounce + 1), slot_body, jnp.int32(0))
 
-            sc = scattering
-            # The RNG state only advances on scattering lanes (matching the
-            # shader's inout rngState). NOTE: a uint32 vector select trips a
-            # Mosaic relayout bug, so select arithmetically in uint32.
-            sel = pltpu.bitcast(jnp.where(sc, zero_i + 1, zero_i), jnp.uint32)
-            st_fix = state2 * sel + state * (_U(1) - sel)
-            ox2 = jnp.where(passthru, hpx + dx * 0.001,
-                            jnp.where(sc, hpx + ndx * d_eps, ox))
-            oy2 = jnp.where(passthru, hpy + dy * 0.001,
-                            jnp.where(sc, hpy + ndy * d_eps, oy))
-            oz2 = jnp.where(passthru, hpz + dz * 0.001,
-                            jnp.where(sc, hpz + ndz * d_eps, oz))
-            dx2 = jnp.where(sc, ndx, dx)
-            dy2 = jnp.where(sc, ndy, dy)
-            dz2 = jnp.where(sc, ndz, dz)
-            inc_r3 = jnp.where(sc, inc_r2,
-                               jnp.where(missed, inc_r + er * col_r, inc_r))
-            inc_g3 = jnp.where(sc, inc_g2,
-                               jnp.where(missed, inc_g + eg * col_g, inc_g))
-            inc_b3 = jnp.where(sc, inc_b2,
-                               jnp.where(missed, inc_b + eb * col_b, inc_b))
-            scs = sc & survive
-            # Death = zeroed throughput: lanes that missed, failed Russian
-            # roulette, or were already dead land in the zero branch.
-            # Arithmetic mask blend: a where-select on a self-referential
-            # carry (col -> live -> masks -> col) trips Mosaic layout
-            # inference; multiply-add of 0/1 masks compiles fine (same trick
-            # as the RNG state select above).
-            pass_f = jnp.where(passthru, zero_f + 1.0, zero_f)
-            scs_f = jnp.where(scs, zero_f + 1.0, zero_f)
-            boost_r = cr2 * inv_p
-            boost_g = cg2 * inv_p
-            boost_b = cb2 * inv_p
-            col_r2 = col_r * pass_f + boost_r * scs_f
-            col_g2 = col_g * pass_f + boost_g * scs_f
-            col_b2 = col_b * pass_f + boost_b * scs_f
-            # arithmetic parking: lanes that died this bounce (neither
-            # passthrough nor scatter+survive) move to +1e9 heading +x
-            live_f = pass_f + scs_f  # 0.0 or 1.0, disjoint masks
-            dead_f = 1.0 - live_f
-            ox2 = ox2 * live_f + np.float32(1.0e9) * dead_f
-            oy2 = oy2 * live_f + np.float32(1.0e9) * dead_f
-            oz2 = oz2 * live_f + np.float32(1.0e9) * dead_f
-            dx2 = dx2 * live_f + dead_f
-            dy2 = dy2 * live_f
-            dz2 = dz2 * live_f + np.float32(1e-9) * dead_f
-            return (
-                st_fix, ox2, oy2, oz2, dx2, dy2, dz2,
-                inc_r3, inc_g3, inc_b3, col_r2, col_g2, col_b2, segs,
-            )
-
-        def bounce_step(bounce):
-            carry = (
-                s_st_ref[...],
-                s_ox_ref[...], s_oy_ref[...], s_oz_ref[...],
-                s_dx_ref[...], s_dy_ref[...], s_dz_ref[...],
-                s_ir_ref[...], s_ig_ref[...], s_ib_ref[...],
-                s_cr_ref[...], s_cg_ref[...], s_cb_ref[...],
-                s_segs_ref[...],
-            )
-            out = body2(bounce, carry)
-            (s_st_ref[...], s_ox_ref[...], s_oy_ref[...], s_oz_ref[...],
-             s_dx_ref[...], s_dy_ref[...], s_dz_ref[...],
-             s_ir_ref[...], s_ig_ref[...], s_ib_ref[...],
-             s_cr_ref[...], s_cg_ref[...], s_cb_ref[...],
-             s_segs_ref[...]) = out
-
-        # Static unroll: scf loop carries of masked-updated vectors trip
-        # Mosaic layout inference ("invalid relayout" on yields). From
-        # bounce 1 on, each bounce hangs off pl.when(any lane alive): tiles
-        # whose rays all died (all-sky tiles die at bounce 0) skip the
-        # remaining bounce bodies entirely.
-        for bounce in range(max_bounce + 1):
-            if bounce == 0:
-                bounce_step(0)
-            else:
-                alive_any = jnp.any(
-                    (s_cr_ref[...] > 0.0)
-                    | (s_cg_ref[...] > 0.0)
-                    | (s_cb_ref[...] > 0.0)
-                )
-                pl.when(alive_any)(functools.partial(bounce_step, bounce))
-        return (
-            s_st_ref[...],
-            s_ir_ref[...], s_ig_ref[...], s_ib_ref[...],
-            s_segs_ref[...],
-        )
-
-    def spp_body(_, carry):
-        state, tr, tg, tb, segs = carry
-        state, cjx, cjy = _rand_circle(state)
-        cjx = cjx * defocus_w
-        cjy = cjy * defocus_w
-        # camRight = column 0 of R = (r00, r10, r20); camUp = column 1
-        # (RayTracing.shader:367-368).
-        ox = cam0 + r00 * cjx + r01 * cjy
-        oy = cam1 + r10 * cjx + r11 * cjy
-        oz = cam2 + r20 * cjx + r21 * cjy
-        state, jx, jy = _rand_circle(state)
-        jx = jx * diverge_w
-        jy = jy * diverge_w
-        tx = fpx + r00 * jx + r01 * jy
-        ty = fpy + r10 * jx + r11 * jy
-        tz = fpz + r20 * jx + r21 * jy
-        dx, dy, dz = _norm3(tx - ox, ty - oy, tz - oz)
-        state, ir, ig, ib, segs = trace_one_sample(
-            state, ox, oy, oz, dx, dy, dz, segs
-        )
-        return state, tr + ir, tg + ig, tb + ib, segs
-
-    init = (seed, zero_f, zero_f, zero_f, zero_i)
-    _, tr, tg, tb, segs = lax.fori_loop(0, spp, spp_body, init)
     inv_spp = np.float32(1.0 / spp)
-    out_r_ref[:] = tr * inv_spp
-    out_g_ref[:] = tg * inv_spp
-    out_b_ref[:] = tb * inv_spp
-    out_segs_ref[:] = segs
+    out_r_ref[:] = s_tr_ref[...] * inv_spp
+    out_g_ref[:] = s_tg_ref[...] * inv_spp
+    out_b_ref[:] = s_tb_ref[...] * inv_spp
+    out_segs_ref[:] = s_segs_ref[...]
 
 
 # ------------------------------- launcher -----------------------------------
@@ -775,10 +961,32 @@ def render_frame_mega(
         [jnp.asarray(frame, jnp.int32), jnp.int32(n_pix),
          jnp.asarray(y0, jnp.int32)]
     )
+    # Front-to-back cluster visit order for this camera (argsort of
+    # cluster-AABB center distance; traced, so camera motion does not
+    # recompile). Padding clusters have zero boxes at the origin - they
+    # sort wherever, their primitives never hit.
+    def _f2b(bounds):
+        ctr = (bounds[:, 0:3] + bounds[:, 3:6]) * 0.5
+        d2 = jnp.sum((ctr - camera.position[None, :]) ** 2, axis=1)
+        return jnp.argsort(d2).astype(jnp.int32)
+
+    sperm = _f2b(p.sph_sub_bounds)
+    tperm = _f2b(p.tri_sub_bounds)
+
+    # fetch batch width: as many ray rows per MXU dot as keep the batched
+    # dot result under ~4 MB of VMEM (big-slot scenes chunk the batch)
+    n_fc_l = p.fetch_tab.shape[1] // 128
+    nf_l = p.fetch_tab2.shape[0] // n_fc_l
+    gb = ROWS
+    while gb > 1 and n_fc_l * nf_l * gb * LANES * 4 > 4 * 1024 * 1024:
+        gb //= 2
 
     kernel = functools.partial(
         _render_kernel,
         spp=cfg.spp,
+        gb=gb,
+        fetch_fields=p.fetch_fields,
+        nf=nf_l,
         max_bounce=cfg.max_bounce,
         width=cfg.width,
         height=cfg.height,
@@ -791,29 +999,36 @@ def render_frame_mega(
         stub_intersect=stub_intersect,
     )
     full = lambda a: pl.BlockSpec(
-        a.shape, lambda i, ip, fp: tuple(0 for _ in a.shape),
+        a.shape, lambda i, ip, sp, tp, fp: tuple(0 for _ in a.shape),
         memory_space=pltpu.VMEM,
     )
     out_spec = pl.BlockSpec(
-        (ROWS, LANES), lambda i, ip, fp: (i, 0), memory_space=pltpu.VMEM
+        (ROWS, LANES), lambda i, ip, sp, tp, fp: (i, 0), memory_space=pltpu.VMEM
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=4,
         grid=(n_tiles,),
         in_specs=[
             full(p.sph_sub_bounds),
             full(p.sph_sub_cols),
             full(p.tri_sub_bounds),
             full(p.tri_sub_cols),
-            full(p.fetch_tab),
+            full(p.fetch_tab2),
         ],
         out_specs=[out_spec, out_spec, out_spec, out_spec],
         scratch_shapes=[
-            pltpu.VMEM((ROWS, LANES), jnp.float32),
-            pltpu.VMEM((ROWS, LANES), jnp.float32),
-            pltpu.VMEM((ROWS, LANES), jnp.uint32),
+            pltpu.VMEM((ROWS, LANES), jnp.float32),  # best_t
+            pltpu.VMEM((ROWS, LANES), jnp.float32),  # best_code
+            pltpu.VMEM((ROWS, LANES), jnp.uint32),  # rng state
         ] + [pltpu.VMEM((ROWS, LANES), jnp.float32)] * 12 + [
-            pltpu.VMEM((ROWS, LANES), jnp.int32),
+            pltpu.VMEM((ROWS, LANES), jnp.int32),  # segs
+        ] + [pltpu.VMEM((ROWS, LANES), jnp.float32)] * 3 + [
+            pltpu.VMEM((ROWS, LANES), jnp.int32),  # samples done
+            pltpu.VMEM((ROWS, LANES), jnp.int32),  # bounce index
+            pltpu.VMEM((128, gb * LANES), jnp.float32),  # one-hot batch
+            pltpu.VMEM(
+                (n_fc_l * nf_l, gb * LANES), jnp.float32
+            ),  # fetch dot result
         ],
     )
     r, g, b, segs = pl.pallas_call(
@@ -826,8 +1041,8 @@ def render_frame_mega(
             jax.ShapeDtypeStruct((n_tiles * ROWS, LANES), jnp.int32),
         ],
         interpret=interpret,
-    )(iparams, fparams, p.sph_sub_bounds, p.sph_sub_cols,
-      p.tri_sub_bounds, p.tri_sub_cols, p.fetch_tab)
+    )(iparams, sperm, tperm, fparams, p.sph_sub_bounds, p.sph_sub_cols,
+      p.tri_sub_bounds, p.tri_sub_cols, p.fetch_tab2)
 
     def untile(a):
         """(n_tiles * ROWS, LANES) tile-local order -> (bh, W) band crop."""

@@ -57,6 +57,7 @@ FETCH_ROWS = 40
         "n_sphere_subs",
         "n_tri_subs",
         "features",
+        "fetch_fields",
     )
 )
 class PackedScene:
@@ -82,7 +83,18 @@ class PackedScene:
     sph_sub_cols: jnp.ndarray  # (NSs, SUB, 8): cx, cy, cz, r, r^2, pad3
     tri_sub_bounds: jnp.ndarray  # (NSt, 8) f32
     tri_sub_cols: jnp.ndarray  # (NSt, SUB, 16): pa3, eab3, eac3, n3, pad4
-    fetch_tab: jnp.ndarray  # (FETCH_ROWS, NSs*SUB + NSt*SUB) f32
+    fetch_tab: jnp.ndarray  # (FETCH_ROWS, n_slots) f32
+    # two-level fetch operand: the feature-selected rows of fetch_tab
+    # (``fetch_fields`` names them in order, zero-padded to a multiple of 8
+    # sublanes), chunked by slot-cluster of 128 and stacked row-major -
+    # fetch_tab2[c * nf + r, s] = fetch_tab[legacy_row(fields[r]), c*128+s].
+    # The kernel contracts it against a 128-wide within-cluster one-hot on
+    # the MXU, then combines the n_slots/128 cluster blocks with masked
+    # adds. Scenes only pay MXU/VPU fetch cost for fields their feature
+    # set can actually read (e.g. RTIOW: no emissive materials, no
+    # triangles -> 12 of 39 rows).
+    fetch_tab2: jnp.ndarray  # (n_c * nf, 128) f32
+    fetch_fields: tuple
     n_sphere_clusters: int
     n_tri_clusters: int
     n_sphere_subs: int
@@ -221,8 +233,10 @@ def pack_scene(scene: Scene) -> PackedScene:
             tri_sub_bounds[k, 3:6] = verts.max(axis=0)
 
     # ---- unified fetch table: material + geometry per packed slot -------
+    # Scenes with no real triangles drop the (all-padding) triangle slot
+    # block entirely: the kernel's one-hot build cost is linear in n_slots.
     mats = scene.materials
-    n_slots = s_pad + t_pad
+    n_slots = s_pad + t_pad if len(real_t) else s_pad
     fetch = np.zeros((FETCH_ROWS, n_slots), np.float32)
 
     def mat_rows(dst_slice, mat_idx):
@@ -242,18 +256,19 @@ def pack_scene(scene: Scene) -> PackedScene:
     fetch[14, :s_pad] = 1.0  # is_sphere
     fetch[15:18, :s_pad] = c.T
 
-    tri_mat = np.asarray(scene.triangles.mat_idx)[tperm]
-    mat_rows(slice(s_pad, n_slots), tri_mat)
-    na = np.asarray(scene.triangles.normal_a)[tperm]
-    nb = np.asarray(scene.triangles.normal_b)[tperm]
-    nc_ = np.asarray(scene.triangles.normal_c)[tperm]
-    fetch[18:21, s_pad:] = tpa.T
-    fetch[21:24, s_pad:] = teab.T
-    fetch[24:27, s_pad:] = teac.T
-    fetch[27:30, s_pad:] = na.T
-    fetch[30:33, s_pad:] = nb.T
-    fetch[33:36, s_pad:] = nc_.T
-    fetch[36:39, s_pad:] = tn.T
+    if len(real_t):
+        tri_mat = np.asarray(scene.triangles.mat_idx)[tperm]
+        mat_rows(slice(s_pad, n_slots), tri_mat)
+        na = np.asarray(scene.triangles.normal_a)[tperm]
+        nb = np.asarray(scene.triangles.normal_b)[tperm]
+        nc_ = np.asarray(scene.triangles.normal_c)[tperm]
+        fetch[18:21, s_pad:] = tpa.T
+        fetch[21:24, s_pad:] = teab.T
+        fetch[24:27, s_pad:] = teac.T
+        fetch[27:30, s_pad:] = na.T
+        fetch[30:33, s_pad:] = nb.T
+        fetch[33:36, s_pad:] = nc_.T
+        fetch[36:39, s_pad:] = tn.T
 
     flags = np.asarray(scene.materials.flag)
     feats = []
@@ -270,10 +285,59 @@ def pack_scene(scene: Scene) -> PackedScene:
         feats.append("checker")
     if (flags == _FI).any():
         feats.append("invisible")
+    if (np.asarray(scene.materials.emission_strength) > 0).any():
+        feats.append("emissive")
     if float(scene.env.enabled) > 0:
         feats.append("env")
         if float(scene.env.sun_intensity) > 0:
             feats.append("sun")
+
+    # two-level fetch operand (see PackedScene.fetch_tab2): select only the
+    # rows this scene's feature set can read, in a dense order.
+    legacy = {
+        "col_r": 0, "col_g": 1, "col_b": 2,
+        "em_r": 3, "em_g": 4, "em_b": 5,
+        "spec_r": 6, "spec_g": 7, "spec_b": 8,
+        "estr": 9, "smooth": 10, "sprob": 11,
+        "flag": 12, "ior": 13, "is_sph": 14,
+        "scx": 15, "scy": 16, "scz": 17,
+        "pa_x": 18, "pa_y": 19, "pa_z": 20,
+        "eab_x": 21, "eab_y": 22, "eab_z": 23,
+        "eac_x": 24, "eac_y": 25, "eac_z": 26,
+        "na_x": 27, "na_y": 28, "na_z": 29,
+        "nb_x": 30, "nb_y": 31, "nb_z": 32,
+        "nc_x": 33, "nc_y": 34, "nc_z": 35,
+        "gn_x": 36, "gn_y": 37, "gn_z": 38,
+    }
+    fields = [
+        "col_r", "col_g", "col_b",
+        "spec_r", "spec_g", "spec_b",
+        "smooth", "sprob",
+        "scx", "scy", "scz",
+    ]
+    if "emissive" in feats or "checker" in feats:
+        fields += ["em_r", "em_g", "em_b"]
+    if "emissive" in feats:
+        fields += ["estr"]
+    if {"checker", "invisible", "dielectric"} & set(feats):
+        fields += ["flag"]
+    if "dielectric" in feats:
+        fields += ["ior"]
+    if "tris" in feats:
+        fields += ["is_sph"]
+        for base in ("pa", "eab", "eac", "na", "nb", "nc", "gn"):
+            fields += [f"{base}_x", f"{base}_y", f"{base}_z"]
+    nf = -(-len(fields) // 8) * 8  # sublane-aligned
+    n_c = n_slots // 128
+    fetch_sel = np.zeros((nf, n_slots), np.float32)
+    fetch_sel[: len(fields)] = fetch[[legacy[f] for f in fields]]
+    fetch2 = (
+        fetch_sel
+        .reshape(nf, n_c, 128)
+        .transpose(1, 0, 2)
+        .reshape(n_c * nf, 128)
+        .copy()
+    )
 
     return PackedScene(
         sph_bounds=jnp.asarray(sph_bounds),
@@ -294,6 +358,8 @@ def pack_scene(scene: Scene) -> PackedScene:
         tri_sub_bounds=jnp.asarray(tri_sub_bounds),
         tri_sub_cols=jnp.asarray(tri_sub_cols),
         fetch_tab=jnp.asarray(fetch),
+        fetch_tab2=jnp.asarray(fetch2),
+        fetch_fields=tuple(fields),
         n_sphere_clusters=int(ncs),
         n_tri_clusters=int(nct),
         n_sphere_subs=int(nss),
