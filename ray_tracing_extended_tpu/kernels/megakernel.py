@@ -69,7 +69,7 @@ from ..models.geometry import (
     Scene,
 )
 from ..utils.config import RenderConfig
-from .pack import FETCH_ROWS, SUB
+from .pack import FETCH_ROWS, SUB, SUPER
 
 # Square screen tiles: each grid program owns a TS x TS pixel block, so the
 # tile's ray frustum is spatially compact and the per-tile cluster culls
@@ -142,8 +142,10 @@ def _norm3(x, y, z):
 
 def _render_kernel(
     ip_ref,  # SMEM int32 (3,): [frame, n_pix(unused), y0 band offset]
-    sperm_ref,  # SMEM int32 (NSs,): front-to-back sphere-cluster order
-    tperm_ref,  # SMEM int32 (max(NSt,1),): front-to-back tri-cluster order
+    sperm_ref,  # SMEM int32: front-to-back sphere sub-cluster order
+    sperm_sup_ref,  # SMEM int32: front-to-back sphere super-cluster order
+    tperm_ref,  # SMEM int32: front-to-back tri sub-cluster order
+    tperm_sup_ref,  # SMEM int32: front-to-back tri super-cluster order
     # SMEM f32 (36,): camera + environment params. Index layout (must match
     # the fparams concatenation in render_frame_mega):
     #   0-2  cam position      3-11 cam rotation (row-major 3x3)
@@ -152,10 +154,12 @@ def _render_kernel(
     #   18-20 ground colour  21-23 horizon colour  24-26 zenith colour
     #   27   sun_focus 28 sun_intensity  29-31 sun_dir  32-35 pad
     fp_ref,
-    sph_bounds_ref,  # (NSs, 8)
-    sph_cols_ref,  # (NSs, SUB, 8): cx, cy, cz, r, r2, pad3
-    tri_bounds_ref,  # (NSt, 8)
-    tri_cols_ref,  # (NSt, SUB, 16): pa3, eab3, eac3, n3
+    sph_bounds_ref,  # (NSs_pad, 8) sub-cluster AABBs
+    sph_super_ref,  # (NSs_pad/32, 8) super-cluster AABBs
+    sph_cols_ref,  # (NSs_pad, SUB, 8): cx, cy, cz, r, r2, pad3
+    tri_bounds_ref,  # (NSt_pad, 8)
+    tri_super_ref,  # (NSt_pad/32, 8)
+    tri_cols_ref,  # (NSt_pad, SUB, 16): pa3, eab3, eac3, n3
     fetch2_ref,  # (n_slots/128 * n_fetch_rows, 128) two-level fetch operand
     out_r_ref,  # (ROWS, 128) f32
     out_g_ref,
@@ -187,6 +191,8 @@ def _render_kernel(
     height: int,
     nss: int,
     nst: int,
+    n_sph_supers: int,
+    n_tri_supers: int,
     n_slots: int,
     features: tuple = (),
     use_cull: bool = True,
@@ -371,7 +377,30 @@ def _render_kernel(
                 visit()
             return carry
 
-        lax.fori_loop(0, nss, sphere_cluster, jnp.int32(0))
+        # Hierarchical cull: one slab test per super-cluster of 32 subs
+        # gates the whole block (second level of the reference's chunk
+        # gate). Single-super scenes keep the flat sub loop - the fixed
+        # 32-sub inner loop would test padding boxes for nothing.
+        if use_cull and n_sph_supers > 1:
+
+            def sphere_super(si, carry):
+                sup = sperm_sup_ref[si]
+                smask = tile_hits(sph_super_ref, sup)
+
+                def subs():
+                    lax.fori_loop(
+                        0,
+                        SUPER,
+                        lambda j, c2: sphere_cluster(sup * SUPER + j, c2),
+                        jnp.int32(0),
+                    )
+
+                pl.when(jnp.any(smask))(subs)
+                return carry
+
+            lax.fori_loop(0, n_sph_supers, sphere_super, jnp.int32(0))
+        else:
+            lax.fori_loop(0, nss, sphere_cluster, jnp.int32(0))
 
         def tri_cluster(ci, carry):
             c = tperm_ref[ci]
@@ -433,7 +462,26 @@ def _render_kernel(
             return carry
 
         if "tris" in features:
-            lax.fori_loop(0, nst, tri_cluster, jnp.int32(0))
+            if use_cull and n_tri_supers > 1:
+
+                def tri_super(si, carry):
+                    sup = tperm_sup_ref[si]
+                    smask = tile_hits(tri_super_ref, sup)
+
+                    def subs():
+                        lax.fori_loop(
+                            0,
+                            SUPER,
+                            lambda j, c2: tri_cluster(sup * SUPER + j, c2),
+                            jnp.int32(0),
+                        )
+
+                    pl.when(jnp.any(smask))(subs)
+                    return carry
+
+                lax.fori_loop(0, n_tri_supers, tri_super, jnp.int32(0))
+            else:
+                lax.fori_loop(0, nst, tri_cluster, jnp.int32(0))
         return best_t_ref[...], best_code_ref[...]
 
     # The packer selected exactly the rows this scene's feature set can
@@ -897,9 +945,27 @@ def mega_supported(scene: Scene, cfg: RenderConfig) -> bool:
     p = scene.packed
     if p is None:
         return False
-    # VMEM budget: tables must fit comfortably alongside the ray state.
+    # VMEM budget: the resident tables (geometry columns, bounds, and the
+    # two-level fetch operand) plus the batched-fetch scratch must leave
+    # room for the ~20 per-lane state buffers. The two-level fetch made
+    # the old 4096-slot cap obsolete (one-hot cost no longer scales with
+    # n_slots); the binding constraints now are table bytes and the
+    # per-row combine cost (n_slots/128 masked adds), both fine through
+    # Chess-scale (~6k slots) and beyond.
     slots = p.fetch_tab.shape[1]
-    return slots <= 4096
+    nf = p.fetch_tab2.shape[0] // max(slots // 128, 1)
+    table_bytes = (
+        p.sph_sub_cols.size
+        + p.tri_sub_cols.size
+        + p.sph_sub_bounds.size
+        + p.tri_sub_bounds.size
+        + p.fetch_tab2.size
+    ) * 4
+    # min-gb batched-fetch scratch (launcher shrinks gb to <= 4 MB)
+    scratch_bytes = min(
+        (slots // 128) * nf * LANES * 4, 4 * 1024 * 1024
+    ) + 128 * LANES * 4
+    return table_bytes + scratch_bytes <= 8 * 1024 * 1024
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "interpret", "use_cull", "stub_fetch", "stub_intersect", "band_height"))
@@ -970,8 +1036,26 @@ def render_frame_mega(
         d2 = jnp.sum((ctr - camera.position[None, :]) ** 2, axis=1)
         return jnp.argsort(d2).astype(jnp.int32)
 
-    sperm = _f2b(p.sph_sub_bounds)
-    tperm = _f2b(p.tri_sub_bounds)
+    def _f2b_within(bounds, n_sup):
+        # front-to-back order of subs WITHIN each super block, so the
+        # hierarchical gate stays valid (a super only dispatches its own
+        # 32 storage-contiguous subs)
+        ctr = (bounds[:, 0:3] + bounds[:, 3:6]) * 0.5
+        d2 = jnp.sum((ctr - camera.position[None, :]) ** 2, axis=1)
+        idx = jnp.argsort(d2.reshape(n_sup, SUPER), axis=1).astype(jnp.int32)
+        base = (jnp.arange(n_sup, dtype=jnp.int32) * SUPER)[:, None]
+        return (idx + base).reshape(-1)
+
+    if p.n_sphere_supers > 1:
+        sperm = _f2b_within(p.sph_sub_bounds, p.n_sphere_supers)
+    else:
+        sperm = _f2b(p.sph_sub_bounds[: p.n_sphere_subs])
+    sperm_sup = _f2b(p.sph_super_bounds)
+    if p.n_tri_supers > 1:
+        tperm = _f2b_within(p.tri_sub_bounds, p.n_tri_supers)
+    else:
+        tperm = _f2b(p.tri_sub_bounds[: max(p.n_tri_subs, 1)])
+    tperm_sup = _f2b(p.tri_super_bounds)
 
     # fetch batch width: as many ray rows per MXU dot as keep the batched
     # dot result under ~4 MB of VMEM (big-slot scenes chunk the batch)
@@ -992,6 +1076,8 @@ def render_frame_mega(
         height=cfg.height,
         nss=p.n_sphere_subs,
         nst=p.n_tri_subs,
+        n_sph_supers=p.n_sphere_supers,
+        n_tri_supers=p.n_tri_supers,
         n_slots=p.fetch_tab.shape[1],
         features=p.features,
         use_cull=use_cull,
@@ -999,19 +1085,21 @@ def render_frame_mega(
         stub_intersect=stub_intersect,
     )
     full = lambda a: pl.BlockSpec(
-        a.shape, lambda i, ip, sp, tp, fp: tuple(0 for _ in a.shape),
+        a.shape, lambda i, ip, sp, sps, tp, tps, fp: tuple(0 for _ in a.shape),
         memory_space=pltpu.VMEM,
     )
     out_spec = pl.BlockSpec(
-        (ROWS, LANES), lambda i, ip, sp, tp, fp: (i, 0), memory_space=pltpu.VMEM
+        (ROWS, LANES), lambda i, ip, sp, sps, tp, tps, fp: (i, 0), memory_space=pltpu.VMEM
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=4,
+        num_scalar_prefetch=6,
         grid=(n_tiles,),
         in_specs=[
             full(p.sph_sub_bounds),
+            full(p.sph_super_bounds),
             full(p.sph_sub_cols),
             full(p.tri_sub_bounds),
+            full(p.tri_super_bounds),
             full(p.tri_sub_cols),
             full(p.fetch_tab2),
         ],
@@ -1041,8 +1129,9 @@ def render_frame_mega(
             jax.ShapeDtypeStruct((n_tiles * ROWS, LANES), jnp.int32),
         ],
         interpret=interpret,
-    )(iparams, sperm, tperm, fparams, p.sph_sub_bounds, p.sph_sub_cols,
-      p.tri_sub_bounds, p.tri_sub_cols, p.fetch_tab2)
+    )(iparams, sperm, sperm_sup, tperm, tperm_sup, fparams,
+      p.sph_sub_bounds, p.sph_super_bounds, p.sph_sub_cols,
+      p.tri_sub_bounds, p.tri_super_bounds, p.tri_sub_cols, p.fetch_tab2)
 
     def untile(a):
         """(n_tiles * ROWS, LANES) tile-local order -> (bh, W) band crop."""

