@@ -60,6 +60,36 @@ def _morton3(x: np.ndarray) -> np.ndarray:
     )
 
 
+def _assert_traversable(left: np.ndarray, right: np.ndarray) -> None:
+    """Build-time guard for the fixed traversal stack: the device kernel
+    clamps pushes to STACK_DEPTH-1, so a deeper tree would silently drop
+    subtrees (missed intersections with no error). Depth can exceed the
+    Morton-split bound for long runs of equal codes, so measure the actual
+    tree instead of trusting the bound (ADVICE round-1)."""
+    n = len(left)
+    depth = np.zeros(n, np.int32)
+    stack = [0]
+    max_depth = 0
+    while stack:
+        node = stack.pop()
+        d = depth[node]
+        max_depth = max(max_depth, int(d))
+        l, r = int(left[node]), int(right[node])
+        if l >= 0:
+            depth[l] = d + 1
+            stack.append(l)
+        if r >= 0:
+            depth[r] = d + 1
+            stack.append(r)
+    # traversal pushes at most one node per level beyond the current one
+    if max_depth + 1 > STACK_DEPTH:
+        raise ValueError(
+            f"LBVH depth {max_depth + 1} exceeds the device traversal "
+            f"stack ({STACK_DEPTH}); rebuild with a larger leaf_width or "
+            "raise STACK_DEPTH"
+        )
+
+
 def build_lbvh(
     prim_bmin: np.ndarray,
     prim_bmax: np.ndarray,
@@ -92,6 +122,7 @@ def build_lbvh(
         )
         if built is not None:
             nb_min, nb_max, left, right, leaf_row, leaf_prims = built
+            _assert_traversable(left, right)
             return BVH(
                 bounds_min=jnp.asarray(nb_min),
                 bounds_max=jnp.asarray(nb_max),
@@ -162,6 +193,7 @@ def build_lbvh(
             work.append((r_node, m, e))
             work.append((l_node, s, m))
 
+    _assert_traversable(np.array(left, np.int32), np.array(right, np.int32))
     return BVH(
         bounds_min=jnp.asarray(np.stack(bounds_min)),
         bounds_max=jnp.asarray(np.stack(bounds_max)),

@@ -165,6 +165,7 @@ def _render_kernel(
     out_g_ref,
     out_b_ref,
     out_segs_ref,  # (ROWS, 128) int32
+    out_hist_ref,  # (HR, 128) int32: per-bounce live counts (collect_stats)
     best_t_ref,  # VMEM scratch (ROWS, 128) f32
     best_code_ref,  # VMEM scratch (ROWS, 128) f32
     # persistent-lane state in VMEM scratch: every lane runs its own
@@ -195,6 +196,8 @@ def _render_kernel(
     n_tri_supers: int,
     n_slots: int,
     features: tuple = (),
+    hist_rows: int = 8,
+    collect_stats: bool = False,
     use_cull: bool = True,
     stub_fetch: bool = False,
     stub_intersect: bool = False,
@@ -793,6 +796,10 @@ def _render_kernel(
     s_ns_ref[...] = zero_i
     s_bc_ref[...] = zero_i
 
+    out_hist_ref[...] = lax.broadcasted_iota(
+        jnp.int32, (hist_rows, LANES), 1
+    ) * 0
+
     def slot_body(_, carry):
         col_r = s_cr_ref[...]
         col_g = s_cg_ref[...]
@@ -850,6 +857,22 @@ def _render_kernel(
             s_segs_ref[...] = s_segs_ref[...] + jnp.where(
                 live, zero_i + 1, zero_i
             )
+            if collect_stats:
+                # per-bounce live histogram (alive-fraction observability):
+                # one lane-wise reduce per bounce level, accumulated in the
+                # output block. Edge tiles count their clamped border
+                # duplicates too - callers normalise by counts[0], which
+                # carries the same duplicates, so fractions are unbiased.
+                bc_now = s_bc_ref[...]
+                live_i = jnp.where(live, zero_i + 1, zero_i)
+                for b_i in range(max_bounce + 1):
+                    out_hist_ref[b_i : b_i + 1, :] = out_hist_ref[
+                        b_i : b_i + 1, :
+                    ] + jnp.sum(
+                        jnp.where(bc_now == b_i, live_i, zero_i),
+                        axis=0,
+                        keepdims=True,
+                    )
 
             ox = s_ox_ref[...]
             oy = s_oy_ref[...]
@@ -968,7 +991,7 @@ def mega_supported(scene: Scene, cfg: RenderConfig) -> bool:
     return table_bytes + scratch_bytes <= 8 * 1024 * 1024
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "interpret", "use_cull", "stub_fetch", "stub_intersect", "band_height"))
+@functools.partial(jax.jit, static_argnames=("cfg", "interpret", "use_cull", "stub_fetch", "stub_intersect", "band_height", "collect_stats"))
 def render_frame_mega(
     scene: Scene,
     camera,
@@ -980,6 +1003,7 @@ def render_frame_mega(
     stub_intersect: bool = False,
     y0=0,
     band_height: int | None = None,
+    collect_stats: bool = False,
 ):
     """Full-frame render via the megakernel.
 
@@ -1065,10 +1089,14 @@ def render_frame_mega(
     while gb > 1 and n_fc_l * nf_l * gb * LANES * 4 > 4 * 1024 * 1024:
         gb //= 2
 
+    hist_rows = -(-(cfg.max_bounce + 1) // 8) * 8
+
     kernel = functools.partial(
         _render_kernel,
         spp=cfg.spp,
         gb=gb,
+        hist_rows=hist_rows,
+        collect_stats=collect_stats,
         fetch_fields=p.fetch_fields,
         nf=nf_l,
         max_bounce=cfg.max_bounce,
@@ -1103,7 +1131,14 @@ def render_frame_mega(
             full(p.tri_sub_cols),
             full(p.fetch_tab2),
         ],
-        out_specs=[out_spec, out_spec, out_spec, out_spec],
+        out_specs=[
+            out_spec, out_spec, out_spec, out_spec,
+            pl.BlockSpec(
+                (hist_rows, LANES),
+                lambda i, ip, sp, sps, tp, tps, fp: (i, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
         scratch_shapes=[
             pltpu.VMEM((ROWS, LANES), jnp.float32),  # best_t
             pltpu.VMEM((ROWS, LANES), jnp.float32),  # best_code
@@ -1119,7 +1154,7 @@ def render_frame_mega(
             ),  # fetch dot result
         ],
     )
-    r, g, b, segs = pl.pallas_call(
+    r, g, b, segs, hist = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=[
@@ -1127,6 +1162,7 @@ def render_frame_mega(
             jax.ShapeDtypeStruct((n_tiles * ROWS, LANES), jnp.float32),
             jax.ShapeDtypeStruct((n_tiles * ROWS, LANES), jnp.float32),
             jax.ShapeDtypeStruct((n_tiles * ROWS, LANES), jnp.int32),
+            jax.ShapeDtypeStruct((n_tiles * hist_rows, LANES), jnp.int32),
         ],
         interpret=interpret,
     )(iparams, sperm, sperm_sup, tperm, tperm_sup, fparams,
@@ -1147,4 +1183,9 @@ def render_frame_mega(
     segs_total = jnp.sum(
         jnp.where(row_valid[:, None], untile(segs), 0), dtype=jnp.uint32
     )
+    if collect_stats:
+        counts = jnp.sum(
+            hist.reshape(n_tiles, hist_rows, LANES), axis=(0, 2)
+        )[: cfg.max_bounce + 1]
+        return img, segs_total, counts
     return img, segs_total

@@ -122,10 +122,15 @@ class Triangles:
 @pytree_dataclass
 class MeshChunks:
     """Per-chunk records mirroring ``MeshInfo`` (MeshInfo.cs:3-20): a slice of
-    the global triangle buffer plus a world AABB. Used by the chunk-culled
-    traversal paths; the brute-force path ignores them (semantically
-    equivalent, since a chunk's AABB encloses its triangles and the
-    reference's slab test is conservative, RayTracing.shader:177-187)."""
+    the global triangle buffer plus a world AABB - the data-model parity
+    artifact for the reference's per-chunk records.
+
+    The RUNTIME equivalent of the reference's chunk AABB gate
+    (RayTracing.shader:279-281) is the megakernel's Morton sub/super-cluster
+    cull (kernels/pack.py tables + kernels/megakernel.py tile_hits), which
+    re-clusters triangles at lane-aligned granularity instead of consuming
+    these variable-size chunks; the brute-force XLA path scans every
+    triangle (semantically equivalent - the slab test is conservative)."""
 
     first_tri: jnp.ndarray  # (C,) int32
     num_tris: jnp.ndarray  # (C,) int32

@@ -45,6 +45,7 @@ def trace(
     scene: Scene,
     max_bounce: int,
     intersect_fn: Callable[..., HitRecord] | None = None,
+    with_bounce_counts: bool = False,
 ):
     """Trace a batch of rays to completion.
 
@@ -62,7 +63,9 @@ def trace(
     Returns ``(state, incoming_light, segments)`` with incoming_light (B, 3)
     and segments (B,) int32 = number of rays actually traced per lane (each
     scene intersection of a live lane counts one - the honest denominator
-    for Mrays/s).
+    for Mrays/s). With ``with_bounce_counts`` a fourth element is returned:
+    (max_bounce + 1,) int32 live-lane counts per bounce index (the
+    alive-fraction-per-bounce observability signal, SURVEY.md section 5).
     """
     if intersect_fn is None:
         intersect_fn = closest_hit_bruteforce
@@ -72,15 +75,21 @@ def trace(
     colour = jnp.ones((b, 3), jnp.float32)
     alive = jnp.ones((b,), bool)
     segments = jnp.zeros((b,), jnp.int32)
+    counts = jnp.zeros((max_bounce + 1,), jnp.int32)
     bounce0 = jnp.int32(0)
 
     def cond(carry):
-        bounce_idx, _, _, _, _, _, alive, _ = carry
+        bounce_idx, _, _, _, _, _, alive, _, _ = carry
         return (bounce_idx <= max_bounce) & jnp.any(alive)
 
     def body(carry):
-        bounce_idx, state, o, d, incoming, colour, alive, segments = carry
+        (bounce_idx, state, o, d, incoming, colour, alive, segments,
+         counts) = carry
         segments = segments + alive.astype(jnp.int32)
+        if with_bounce_counts:
+            counts = counts.at[bounce_idx].add(
+                jnp.sum(alive, dtype=jnp.int32)
+            )
         # Park dead lanes far outside every scene bound, pointing away: the
         # tile-level cluster culls in the Pallas intersector then skip them
         # entirely (a compaction-free way to stop paying for dead rays).
@@ -141,12 +150,16 @@ def trace(
             colour_next,
             alive_next,
             segments,
+            counts,
         )
 
     carry = (
-        bounce0, state, origin, direction, incoming, colour, alive, segments
+        bounce0, state, origin, direction, incoming, colour, alive,
+        segments, counts,
     )
-    _, state, _, _, incoming, _, _, segments = lax.while_loop(
+    _, state, _, _, incoming, _, _, segments, counts = lax.while_loop(
         cond, body, carry
     )
+    if with_bounce_counts:
+        return state, incoming, segments, counts
     return state, incoming, segments

@@ -108,10 +108,24 @@ def render_step_sharded(
             return img
 
         flat = lax.map(run, blocks_local)  # (nb_local, B, 3)
+        if cfg.clamp_accumulate and spp_size > 1:
+            # Parity mode: the reference clamps EVERY frame
+            # (Accumulate.shader:50), so folding k frames then clamping
+            # once is not bit-identical. Gather the k spp rows' frames and
+            # fold them sequentially with the per-frame clamp - k x the
+            # collective bytes of the pmean path, exact output.
+            frames_k = lax.all_gather(flat, axis_name="spp")  # (k, ...)
+            out = accum_local
+            frame_f = jnp.asarray(frame, jnp.float32)
+            for i in range(spp_size):
+                w = 1.0 / (frame_f + jnp.float32(i + 1))
+                out = jnp.clip(out * (1.0 - w) + frames_k[i] * w, 0.0, 1.0)
+            return out
         # THE one collective: average the spp rows' samples over ICI.
         flat = lax.pmean(flat, axis_name="spp")
         # Fold k = spp_size frames into the running average at once:
-        # weight = k / (frame + k).
+        # weight = k / (frame + k) - exactly the reference weighting when
+        # no per-frame clamp intervenes.
         k = jnp.float32(spp_size)
         w = k / (jnp.asarray(frame, jnp.float32) + k)
         out = accum_local * (1.0 - w) + flat * w

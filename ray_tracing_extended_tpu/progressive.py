@@ -48,22 +48,52 @@ def render_progressive(
     accum = jnp.zeros((cfg.height, cfg.width, 3), jnp.float32)
     fingerprint = None
     if checkpoint_path is not None:
-        fingerprint = ckpt.state_hash(scene, camera, cfg)
+        # Fold the full camera path into the fingerprint: resuming a
+        # fly-through against a checkpoint made with a different path must
+        # be refused, exactly like a changed static camera.
+        fingerprint = ckpt.state_hash(
+            scene, cameras if cameras is not None else camera, cfg
+        )
         if resume:
             import os
 
             if os.path.exists(checkpoint_path):
                 accum_np, start_frame = ckpt.load(checkpoint_path, fingerprint)
                 accum = jnp.asarray(accum_np)
+    if cameras is not None and len(cameras) < start_frame + frames:
+        raise ValueError(
+            f"cameras covers {len(cameras)} frames; rendering frames "
+            f"[{start_frame}, {start_frame + frames}) needs "
+            f"{start_frame + frames}"
+        )
 
+    # Welford running second moment across frames: var(mean) ~= mean(M2) /
+    # (n (n - 1)) is the MC convergence signal promised in SURVEY section 5.
+    m2 = jnp.zeros_like(accum)
+    want_stats = metrics is not None
     for f in range(start_frame, start_frame + frames):
         cam = cameras[f] if cameras is not None else camera
         t0 = time.perf_counter()
-        cur, segs = render_frame_with_stats(scene, cam, cfg, jnp.uint32(f))
+        out = render_frame_with_stats(
+            scene, cam, cfg, jnp.uint32(f), bounce_stats=want_stats
+        )
+        cur, segs = out[0], out[1]
+        prev = accum
         accum = accumulate(accum, cur, f, clamp=cfg.clamp_accumulate)
+        m2 = m2 + (cur - prev) * (cur - accum)
         segs = int(segs)  # blocks until the frame is done
         wall = time.perf_counter() - t0
         if metrics is not None:
+            counts = np.asarray(out[2])
+            paths = max(int(counts[0]), 1)
+            extra = {
+                "alive_frac": [round(c / paths, 4) for c in counts.tolist()],
+            }
+            n = f - start_frame + 1
+            if n >= 2:
+                extra["accum_var"] = float(
+                    jnp.mean(m2) / (n * (n - 1))
+                )
             metrics.log(
                 FrameMetrics(
                     frame=f,
@@ -71,6 +101,7 @@ def render_progressive(
                     rays=segs,
                     pixels=cfg.num_pixels,
                     spp=cfg.spp,
+                    extra=extra,
                 )
             )
         if (

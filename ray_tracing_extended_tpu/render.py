@@ -61,6 +61,7 @@ def render_block(
     frame,
     pix_idx,
     intersect_fn=None,
+    with_bounce_counts: bool = False,
 ):
     """Render one flat block of pixels -> (B, 3) linear radiance.
 
@@ -77,24 +78,33 @@ def render_block(
     fp = focus_points(camera, x, y, width, cfg.height)
 
     def spp_body(_, carry):
-        state, total, segs = carry
+        state, total, segs, counts = carry
         state, origin, direction = generate_rays(state, camera, fp, width)
-        state, light, s = trace(
+        out = trace(
             state,
             origin,
             direction,
             scene,
             cfg.max_bounce,
             intersect_fn=intersect_fn,
+            with_bounce_counts=with_bounce_counts,
         )
-        return state, total + light, segs + s
+        if with_bounce_counts:
+            state, light, s, c = out
+            counts = counts + c
+        else:
+            state, light, s = out
+        return state, total + light, segs + s, counts
 
     init = (
         state,
         jnp.zeros((pix_idx.shape[0], 3), jnp.float32),
         jnp.zeros((pix_idx.shape[0],), jnp.int32),
+        jnp.zeros((cfg.max_bounce + 1,), jnp.int32),
     )
-    _, total, segs = lax.fori_loop(0, cfg.spp, spp_body, init)
+    _, total, segs, counts = lax.fori_loop(0, cfg.spp, spp_body, init)
+    if with_bounce_counts:
+        return total / jnp.float32(cfg.spp), segs, counts
     return total / jnp.float32(cfg.spp), segs
 
 
@@ -137,39 +147,60 @@ def _use_megakernel(scene: Scene, cfg: RenderConfig) -> bool:
     return mega_supported(scene, cfg)
 
 
-@functools.partial(jax.jit, static_argnames=("cfg",))
+@functools.partial(
+    jax.jit, static_argnames=("cfg", "bounce_stats")
+)
 def render_frame_with_stats(
-    scene: Scene, camera: Camera, cfg: RenderConfig, frame
+    scene: Scene,
+    camera: Camera,
+    cfg: RenderConfig,
+    frame,
+    bounce_stats: bool = False,
 ):
     """Render one full frame -> ((H, W, 3) f32 linear radiance, total ray
     segments traced (uint32 scalar) - the Mrays/s numerator).
 
     ``frame`` is a traced uint32 scalar (progressive accumulation advances it
     without recompiling). Row 0 of the output is the image BOTTOM.
+    With ``bounce_stats`` a third element is returned: (max_bounce + 1,)
+    int32 live-path counts per bounce index (normalise by counts[0] for the
+    alive fraction - SURVEY.md section 5 observability).
     """
     if _use_megakernel(scene, cfg):
         from .kernels.megakernel import render_frame_mega
 
-        return render_frame_mega(scene, camera, cfg, frame)
+        return render_frame_mega(
+            scene, camera, cfg, frame, collect_stats=bounce_stats
+        )
 
     blocks = jnp.asarray(_padded_pixel_blocks(cfg))
     intersect_fn = _resolve_intersector(scene, cfg)
 
     def run(block_idx):
-        img, segs = render_block(
-            scene, camera, cfg, frame, block_idx, intersect_fn=intersect_fn
+        out = render_block(
+            scene, camera, cfg, frame, block_idx,
+            intersect_fn=intersect_fn, with_bounce_counts=bounce_stats,
         )
+        if bounce_stats:
+            img, segs, counts = out
+            return img, jnp.sum(segs, dtype=jnp.uint32), counts
+        img, segs = out
         return img, jnp.sum(segs, dtype=jnp.uint32)
 
     if blocks.shape[0] == 1:
-        flat, segs = run(blocks[0])
-        total_segs = segs
+        out = run(blocks[0])
+        flat, total_segs = out[0], out[1]
+        counts = out[2] if bounce_stats else None
     else:
-        flat, segs = lax.map(run, blocks)
-        flat = flat.reshape(-1, 3)
-        total_segs = jnp.sum(segs, dtype=jnp.uint32)
+        out = lax.map(run, blocks)
+        flat = out[0].reshape(-1, 3)
+        total_segs = jnp.sum(out[1], dtype=jnp.uint32)
+        counts = jnp.sum(out[2], axis=0) if bounce_stats else None
     flat = flat[: cfg.num_pixels]
-    return flat.reshape(cfg.height, cfg.width, 3), total_segs
+    img = flat.reshape(cfg.height, cfg.width, 3)
+    if bounce_stats:
+        return img, total_segs, counts
+    return img, total_segs
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))

@@ -142,8 +142,15 @@ def _triangulate(poly_idx: np.ndarray):
 
 
 def _model_trs(model: _Node):
+    """-> (translation (3,), rotation matrix (3, 3), scale (3,)).
+
+    FBX composes the local rotation as R = R_pre @ R_lcl (PreRotation is
+    applied around the Lcl Rotation, FBX SDK transform chain); Euler
+    angles do NOT add, so each is converted to a matrix first and the
+    matrices are multiplied in FBX order."""
     t = np.zeros(3)
-    r = np.zeros(3)
+    r_pre = np.eye(3)
+    r_lcl = np.eye(3)
     s = np.ones(3)
     p70 = model.first("Properties70")
     if p70 is not None:
@@ -151,12 +158,13 @@ def _model_trs(model: _Node):
             key = p.props[0]
             if key == "Lcl Translation":
                 t = np.asarray(p.props[4:7], np.float64)
-            elif key in ("Lcl Rotation", "PreRotation"):
-                rr = np.asarray(p.props[4:7], np.float64)
-                r = r + rr  # compose euler approximately (assets use one)
+            elif key == "PreRotation":
+                r_pre = _euler_xyz_matrix(np.asarray(p.props[4:7], np.float64))
+            elif key == "Lcl Rotation":
+                r_lcl = _euler_xyz_matrix(np.asarray(p.props[4:7], np.float64))
             elif key == "Lcl Scaling":
                 s = np.asarray(p.props[4:7], np.float64)
-    return t, r, s
+    return t, r_pre @ r_lcl, s
 
 
 def _euler_xyz_matrix(deg):
@@ -250,8 +258,7 @@ def load_fbx(path):
         s = np.ones(3)
         mid = geo_model.get(gid)
         if mid is not None and mid in models:
-            t, r_deg, s = _model_trs(models[mid])
-            rot = _euler_xyz_matrix(r_deg)
+            t, rot, s = _model_trs(models[mid])
         verts = (verts * s) @ rot.T + t
         verts = verts * unit_scale
         if normals is not None:

@@ -124,7 +124,7 @@ class _SceneDocs:
 
         # defaults from the source FBX's root model
         d_pos = np.zeros(3)
-        d_rot_deg = np.zeros(3)
+        d_rot = np.eye(3)
         d_scale = np.ones(3)
         asset = self._asset_for_guid(src_guid)
         if asset is not None and asset.suffix.lower() == ".fbx":
@@ -136,7 +136,7 @@ class _SceneDocs:
                     if top.name == "Objects":
                         for node in top.children:
                             if node.name == "Model":
-                                d_pos, d_rot_deg, d_scale = _model_trs(node)
+                                d_pos, d_rot, d_scale = _model_trs(node)
                                 break
             except Exception:
                 pass
@@ -170,9 +170,7 @@ class _SceneDocs:
                 }
             )
         else:
-            from .fbx import _euler_xyz_matrix
-
-            rot = _euler_xyz_matrix(d_rot_deg)
+            rot = d_rot
         parent = (
             (body.get("m_Modification") or {}).get("m_TransformParent") or {}
         ).get("fileID") or 0

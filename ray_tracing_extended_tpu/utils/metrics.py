@@ -4,8 +4,11 @@ The reference exposes only three inspector counters (numRenderedFrames /
 numMeshChunks / numTriangles, RayTracingManager.cs:26-28). The TPU framework
 emits one JSON object per frame with throughput and convergence stats
 (SURVEY.md section 5 'Metrics / logging'): Mrays/s (live segments / wall),
-spp/s, rays per path, and a running variance estimate of the accumulated
-image (the MC convergence signal).
+spp/s, rays per path, plus - via the ``extra`` dict filled by
+``progressive.render_progressive`` - ``alive_frac`` (live-path fraction per
+bounce index, from the renderers' per-bounce counters) and ``accum_var``
+(Welford running variance of the accumulated image / n(n-1), the MC
+convergence signal).
 """
 
 from __future__ import annotations

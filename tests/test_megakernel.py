@@ -60,6 +60,23 @@ def test_mega_high_bounce():
     _compare(scene, cam, cfg, frame=1)
 
 
+def test_mega_bounce_stats():
+    """collect_stats returns per-bounce live counts consistent with the
+    segment counter (alive-fraction observability, SURVEY section 5)."""
+    scene, cam, cfg = three_sphere_scene(width=64, height=32, spp=2)
+    img, segs, counts = render_frame_mega(
+        scene, cam, cfg, jnp.uint32(0), interpret=True, collect_stats=True
+    )
+    counts = np.asarray(counts)
+    assert counts.shape == (cfg.max_bounce + 1,)
+    assert counts[0] >= 64 * 32 * 2  # every path alive at bounce 0
+    assert all(counts[i] >= counts[i + 1] for i in range(len(counts) - 1))
+    # the histogram and the segment counter count the same events (modulo
+    # edge-tile border duplicates, absent at this 64x32 = exact tiling...
+    # 64x32 is one partial tile; allow the duplicate slack)
+    assert counts.sum() >= int(segs)
+
+
 def test_mega_segment_count_sane():
     scene, cam, cfg = three_sphere_scene(width=64, height=32, spp=2)
     _, segs = render_frame_mega(scene, cam, cfg, jnp.uint32(0), interpret=True)

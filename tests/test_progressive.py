@@ -52,6 +52,18 @@ def test_metrics_jsonl(tmp_path):
     for l in lines:
         assert l["mrays_per_s"] > 0
         assert 1.0 <= l["rays_per_path"] <= cfg.max_bounce + 1
+        # SURVEY section 5 observability: per-bounce alive fraction +
+        # accumulated-image variance estimate
+        af = l["alive_frac"]
+        assert len(af) == cfg.max_bounce + 1
+        assert af[0] == 1.0  # every path is alive at bounce 0
+        assert all(af[i] >= af[i + 1] for i in range(len(af) - 1))
+        # alive_frac must integrate to rays/path (same honest counters)
+        assert abs(sum(af) - l["rays_per_path"]) < 1e-2
+    assert "accum_var" not in lines[0]
+    assert lines[1]["accum_var"] > 0
+    # variance of the running mean shrinks as frames accumulate
+    assert lines[2]["accum_var"] < lines[1]["accum_var"]
 
 
 def test_checkpoint_atomic_roundtrip(tmp_path):
