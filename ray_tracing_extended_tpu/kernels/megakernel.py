@@ -76,11 +76,21 @@ from .pack import FETCH_ROWS, SUB, SUPER
 # actually skip geometry (a row-major pixel strip spans half the image and
 # defeats culling). Tile size balances per-program overhead (measured
 # ~12 us/program on this stack -> fewer, bigger programs) against culling
-# selectivity and VMEM.
-TS = 64
-TILE = TS * TS
+# selectivity and VMEM: measured on the RTIOW headline, 96 beats 64 by
+# ~6% and both beat 32/128/160. Winner-mode (big-scene) renders keep 64 -
+# their resident tables (~11 MB for 70k tris) leave no VMEM headroom for
+# the larger tile's scratch. RTX_MEGA_TS overrides for perf experiments
+# (tools/sweep_ts.py).
+import os as _os
+
 LANES = 128
-ROWS = TILE // LANES
+
+
+def tile_size(packed) -> int:
+    env = _os.environ.get("RTX_MEGA_TS")
+    if env:
+        return int(env)
+    return 96 if packed.fetch_mode == "onehot" else 64
 
 _INF = np.float32(np.inf)
 _DET_EPS = np.float32(1e-6)
@@ -161,13 +171,15 @@ def _render_kernel(
     tri_super_ref,  # (NSt_pad/32, 8)
     tri_cols_ref,  # (NSt_pad, SUB, 16): pa3, eab3, eac3, n3
     fetch2_ref,  # (n_slots/128 * n_fetch_rows, 128) two-level fetch operand
+    sph_attr_ref,  # (NSs_pad, SUB, nwf): winner-fetch attr rows (spheres)
+    tri_attr_ref,  # (NSt_pad, SUB, nwf): winner-fetch attr rows (tris)
     out_r_ref,  # (ROWS, 128) f32
     out_g_ref,
     out_b_ref,
     out_segs_ref,  # (ROWS, 128) int32
     out_hist_ref,  # (HR, 128) int32: per-bounce live counts (collect_stats)
-    best_t_ref,  # VMEM scratch (ROWS, 128) f32
-    best_code_ref,  # VMEM scratch (ROWS, 128) f32
+    best_enc_ref,  # VMEM scratch (ROWS, 128) i32: (t bits & ~31) | sub idx
+    best_clu_ref,  # VMEM scratch (ROWS, 128) f32: winning cluster slot base
     # persistent-lane state in VMEM scratch: every lane runs its own
     # sample/bounce state machine; the scheduler loop re-seeds dead lanes
     # with their next camera sample (see module docstring)
@@ -182,14 +194,20 @@ def _render_kernel(
     s_bc_ref,  # int32 bounce index of the current sample
     oh_ref,  # (128, GB*128) f32: batched within-cluster one-hot operand
     bfet_ref,  # (n_fc*nf, GB*128) f32: batched fetch dot result
+    ohw_ref,  # (SUB, ROWS*128) f32: winner-fetch one-hot (winner mode)
+    wacc1_ref,  # (16, ROWS*128) f32: winner geometry accumulator
+    wacc2_ref,  # (nwf, ROWS*128) f32: winner attr accumulator
     *,
     spp: int,
     gb: int,
     fetch_fields: tuple,
+    attr_fields: tuple,
+    fetch_mode: str,
     nf: int,
     max_bounce: int,
     width: int,
     height: int,
+    ts: int,
     nss: int,
     nst: int,
     n_sph_supers: int,
@@ -201,8 +219,12 @@ def _render_kernel(
     use_cull: bool = True,
     stub_fetch: bool = False,
     stub_intersect: bool = False,
+    dup_intersect: bool = False,
+    dup_fetch: bool = False,
 ):
     pid = pl.program_id(0)
+    TS = ts  # shadow: tile size is per-launch (see tile_size())
+    ROWS = (ts * ts) // LANES
     sub_i = lax.broadcasted_iota(jnp.int32, (ROWS, LANES), 0)
     lane = lax.broadcasted_iota(jnp.int32, (ROWS, LANES), 1)
     # Layout-anchored zeros: splat-constant loop-carry inits trigger a
@@ -286,23 +308,48 @@ def _render_kernel(
         return er, eg, eb
 
     def intersect(ox, oy, oz, dx, dy, dz):
-        """Cluster-culled closest hit -> (t, code) each (ROWS, 128).
+        """Cluster-culled closest hit -> (t_approx, code) each (ROWS, 128).
 
         The running best lives in VMEM scratch refs and clusters are gated
         with ``pl.when``: unlike ``lax.cond`` (which Mosaic predicates -
         both arms execute), a side-effecting scf.if genuinely branches, so
         a skipped cluster costs only its 6-scalar slab test.
+
+        The fold key is a single bit-ENCODING of (t, sub index): IEEE
+        bits of a non-negative f32 are monotone in its value, so
+        ``(bits(t) & ~31) | sub`` min-reduces t and argmin in ONE
+        reduction instead of a min + an argmin + a two-field fold (the
+        encoded value is bitcast back to f32 and min-folded as f32 -
+        same ordering for these never-NaN patterns, and i32 reductions
+        trip Mosaic relayout bugs). The low
+        5 mantissa bits of t are sacrificed to the index (<= 2^-18
+        relative, strictly conservative for the slab culls since the
+        encode can only nudge t up by < 32 ulp); segment_body re-derives
+        the exact t of the winning primitive from its fetched parameters.
+        Misses encode as +inf, so ``isfinite`` is the hit test.
+
+        (Negative results, measured round 2: an expansion-form sphere
+        quadratic - b = o.d - c.d, cc = o.o - 2 o.c + packed c.c - r^2,
+        hoisting o.d/o.o out of the cluster loop - was ~1% SLOWER than
+        this direct oc form despite fewer nominal ops, and numerically
+        worse near grazes. Isolating oversized spheres into their own
+        sub-cluster lost ~15%: see pack.py note.)
         """
         inv_dx, inv_dy, inv_dz = 1.0 / dx, 1.0 / dy, 1.0 / dz
-        best_t_ref[...] = zero_f + _INF
-        best_code_ref[...] = zero_f
+        # the encode keeps the FOLD itself in f32 (i32 (1,128) reductions
+        # trip Mosaic relayout bugs): for non-NaN, non-negative-t bit
+        # patterns, f32 ordering == i32 ordering, and the miss sentinel is
+        # simply +inf (bits 0x7f800000)
+        best_enc_ref[...] = zero_f + _INF
+        best_clu_ref[...] = zero_f
+        sub_iota_i = lax.broadcasted_iota(jnp.int32, (SUB, LANES), 0)
 
         def tile_hits(bounds_ref, c):
             """Per-lane cluster-AABB mask (ROWS, 128): the t-bounded slab
             test (RayTracing.shader:177-187 lifted per-tile). Parked lanes
             (origin +1e9 heading +x) fail it, so finished rows drop out of
             the per-row gates automatically as the tile's tail drains."""
-            best_t = best_t_ref[...]
+            best_t = best_enc_ref[...]
             t0x = (bounds_ref[c, 0] - ox) * inv_dx
             t1x = (bounds_ref[c, 3] - ox) * inv_dx
             t0y = (bounds_ref[c, 1] - oy) * inv_dy
@@ -319,12 +366,34 @@ def _render_kernel(
             )
             return (tf >= 0.0) & (tn <= jnp.minimum(tf, best_t))
 
-        def fold_row(g, t_min, code_new):
-            old_t = best_t_ref[g : g + 1, :]
-            old_c = best_code_ref[g : g + 1, :]
-            better = t_min < old_t
-            best_t_ref[g : g + 1, :] = jnp.where(better, t_min, old_t)
-            best_code_ref[g : g + 1, :] = jnp.where(better, code_new, old_c)
+        def fold_pair(g, valid, tq, clu_f):
+            """Fold a cluster's (SUB, 128) candidate block into row g's
+            running best: a single f32 min on the bit-encode
+            (bits(t) & ~31) | sub - ordering-equivalent to the i32 min
+            for these never-NaN patterns - replaces a min + an argmin +
+            a two-field fold (measured ~5% of the frame). The winning
+            cluster's slot base (a broadcast scalar) rides along under
+            the same strict-< mask."""
+            enc = jnp.where(
+                valid,
+                pltpu.bitcast(
+                    (pltpu.bitcast(tq, jnp.int32) & np.int32(~31))
+                    | sub_iota_i,
+                    jnp.float32,
+                ),
+                _INF,
+            )
+            enc_min = jnp.min(enc, axis=0, keepdims=True)
+            old = best_enc_ref[g : g + 1, :]
+            better = enc_min < old
+            best_enc_ref[g : g + 1, :] = jnp.minimum(enc_min, old)
+            # NOTE: broadcast clu_f off a ref-loaded row - slicing a
+            # splat-layout value (zero_f[g:g+1]) hits a Mosaic
+            # vector_extract bug on replicated vregs
+            old_clu = best_clu_ref[g : g + 1, :]
+            best_clu_ref[g : g + 1, :] = jnp.where(
+                better, old_clu * 0.0 + clu_f, old_clu
+            )
 
         def sphere_cluster(ci, carry):
             # Front-to-back: visit clusters nearest the camera first so
@@ -340,11 +409,10 @@ def _render_kernel(
                 cx = cols[:, 0:1]
                 cy = cols[:, 1:2]
                 cz = cols[:, 2:3]
-                r = cols[:, 3:4]
-                r2 = cols[:, 4:5]
-                sub_iota = lax.broadcasted_iota(
-                    jnp.int32, (SUB, LANES), 0
-                ).astype(jnp.float32)
+                # dead slots pack r2 = -1e30 (pack.py col 4), making
+                # disc < 0 unconditionally - no r > 0 test needed here
+                r2c = cols[:, 4:5]
+                clu_f = (c * SUB).astype(jnp.float32)
 
                 def row_visit(g):
                     ocx = ox[g : g + 1, :] - cx  # (SUB, 128)
@@ -355,18 +423,11 @@ def _render_kernel(
                         + ocy * dy[g : g + 1, :]
                         + ocz * dz[g : g + 1, :]
                     )
-                    cc = ocx * ocx + ocy * ocy + ocz * ocz - r2
+                    cc = ocx * ocx + ocy * ocy + ocz * ocz - r2c
                     disc = b * b - cc
                     tq = -b - jnp.sqrt(jnp.maximum(disc, 0.0))
-                    valid = (disc >= 0.0) & (tq >= 0.0) & (r > 0.0)
-                    t_pair = jnp.where(valid, tq, _INF)
-                    t_min = jnp.min(t_pair, axis=0, keepdims=True)
-                    amin = jnp.min(
-                        jnp.where(t_pair <= t_min, sub_iota, float(SUB)),
-                        axis=0,
-                        keepdims=True,
-                    )
-                    fold_row(g, t_min, amin + (c * SUB).astype(jnp.float32))
+                    valid = (disc >= 0.0) & (tq >= 0.0)
+                    fold_pair(g, valid, tq, clu_f)
 
                 # NOTE: row-level pl.when gates were measured at ~90 ns
                 # per scf.if on this stack - far more than the (SUB, 128)
@@ -415,9 +476,7 @@ def _render_kernel(
                 ex1, ey1, ez1 = cols[:, 3:4], cols[:, 4:5], cols[:, 5:6]
                 ex2, ey2, ez2 = cols[:, 6:7], cols[:, 7:8], cols[:, 8:9]
                 nx, ny, nz = cols[:, 9:10], cols[:, 10:11], cols[:, 11:12]
-                sub_iota = lax.broadcasted_iota(
-                    jnp.int32, (SUB, LANES), 0
-                ).astype(jnp.float32)
+                clu_f = ((nss + c) * SUB).astype(jnp.float32)
 
                 def row_visit(g):
                     gdx = dx[g : g + 1, :]
@@ -434,25 +493,16 @@ def _render_kernel(
                     u_det = ex2 * daox + ey2 * daoy + ez2 * daoz
                     v_det = -(ex1 * daox + ey1 * daoy + ez1 * daoz)
                     w_det = det - u_det - v_det
-                    hit = (
-                        (det >= _DET_EPS)
-                        & (t_det >= 0.0)
-                        & (u_det >= 0.0)
-                        & (v_det >= 0.0)
-                        & (w_det >= 0.0)
+                    # all four barycentric/t signs collapse into one min
+                    # (t/u/v/w >= 0 each) - 3 mins + 1 compare instead of
+                    # 4 compares + 3 ands
+                    min4 = jnp.minimum(
+                        jnp.minimum(t_det, u_det),
+                        jnp.minimum(v_det, w_det),
                     )
+                    hit = (det >= _DET_EPS) & (min4 >= 0.0)
                     tq = t_det / jnp.where(det >= _DET_EPS, det, 1.0)
-                    t_pair = jnp.where(hit, tq, _INF)
-                    t_min = jnp.min(t_pair, axis=0, keepdims=True)
-                    amin = jnp.min(
-                        jnp.where(t_pair <= t_min, sub_iota, float(SUB)),
-                        axis=0,
-                        keepdims=True,
-                    )
-                    fold_row(
-                        g, t_min,
-                        amin + (nss * SUB + c * SUB).astype(jnp.float32),
-                    )
+                    fold_pair(g, hit, tq, clu_f)
 
                 # Cluster-level gating only (see sphere_cluster note).
                 for g in range(ROWS):
@@ -485,14 +535,158 @@ def _render_kernel(
                 lax.fori_loop(0, n_tri_supers, tri_super, jnp.int32(0))
             else:
                 lax.fori_loop(0, nst, tri_cluster, jnp.int32(0))
-        return best_t_ref[...], best_code_ref[...]
+        # decode: t_approx is +inf on miss (isfinite = hit test);
+        # code = winning cluster slot base + sub index (fetch key)
+        t_approx = best_enc_ref[...]
+        sub = pltpu.bitcast(t_approx, jnp.int32) & np.int32(31)
+        code = best_clu_ref[...] + sub.astype(jnp.float32)
+        return t_approx, code
 
     # The packer selected exactly the rows this scene's feature set can
     # read (pack.py fetch_fields); nf is that count padded to 8 sublanes.
     n_fetch_rows = nf
     fidx = {name: i for i, name in enumerate(fetch_fields)}
 
+    # winner-fetch acc1 row meanings are the sub-cols table columns; a
+    # lane reads them under its own winner's TYPE, so the sphere and
+    # triangle layouts may alias the same rows (winners are per-lane
+    # disjoint and every consumer selects by is_sph)
+    _ACC1 = {
+        "scx": 0, "scy": 1, "scz": 2, "sr2": 4,
+        "pa_x": 0, "pa_y": 1, "pa_z": 2,
+        "eab_x": 3, "eab_y": 4, "eab_z": 5,
+        "eac_x": 6, "eac_y": 7, "eac_z": 8,
+        "gn_x": 9, "gn_y": 10, "gn_z": 11,
+    }
+    _ACC2 = {name: i for i, name in enumerate(attr_fields)}
+
+    def winner_fetch():
+        """Winner post-pass fetch (big scenes): after the closest-hit
+        fold, visit ONLY sub-clusters that won at least one lane (gated
+        per super / per sub with ``pl.when``), contract their parameter
+        tables against the winning-lane one-hot on the MXU, and
+        accumulate into per-field row accumulators. Cost scales with
+        the number of distinct winning sub-clusters per tile - a
+        70k-slot mesh pays nothing for the 69k slots this tile never
+        hit, where the one-hot fetch's per-row cluster combine would
+        walk all n_slots/128 blocks."""
+        best_clu = best_clu_ref[...]
+        enc_i = pltpu.bitcast(best_enc_ref[...], jnp.int32)
+        best_sub = (enc_i & np.int32(31)).astype(jnp.float32)
+        sub_f = lax.broadcasted_iota(
+            jnp.int32, (SUB, LANES), 0
+        ).astype(jnp.float32)
+        wacc1_ref[...] = lax.broadcasted_iota(
+            jnp.int32, (16, ROWS * LANES), 1
+        ).astype(jnp.float32) * 0.0
+        wacc2_ref[...] = lax.broadcasted_iota(
+            jnp.int32, (wacc2_ref.shape[0], ROWS * LANES), 1
+        ).astype(jnp.float32) * 0.0
+
+        def visit_sub(cols_ref, attr_ref, c, base_f):
+            for g in range(ROWS):
+                ohw_ref[:, g * LANES : (g + 1) * LANES] = (
+                    (best_clu[g : g + 1, :] == base_f)
+                    & (sub_f == best_sub[g : g + 1, :])
+                ).astype(jnp.float32)
+            cols = cols_ref[c]  # (SUB, C)
+            d1 = lax.dot_general(
+                cols,
+                ohw_ref[...],
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # (C, ROWS*128), zero on non-winning lanes
+            wacc1_ref[0 : cols.shape[-1], :] += d1
+            d2 = lax.dot_general(
+                attr_ref[c],
+                ohw_ref[...],
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            wacc2_ref[...] += d2
+
+        def sph_sub(c, carry):
+            base_f = (c * SUB).astype(jnp.float32)
+            pl.when(jnp.any(best_clu == base_f))(
+                lambda: visit_sub(sph_cols_ref, sph_attr_ref, c, base_f)
+            )
+            return carry
+
+        if n_sph_supers > 1:
+
+            def sph_super(s, carry):
+                lo = (s * (SUPER * SUB)).astype(jnp.float32)
+                hi = lo + float(SUPER * SUB)
+
+                def subs():
+                    lax.fori_loop(
+                        0,
+                        SUPER,
+                        lambda j, c2: sph_sub(s * SUPER + j, c2),
+                        jnp.int32(0),
+                    )
+
+                pl.when(
+                    jnp.any((best_clu >= lo) & (best_clu < hi))
+                )(subs)
+                return carry
+
+            lax.fori_loop(0, n_sph_supers, sph_super, jnp.int32(0))
+        else:
+            lax.fori_loop(0, nss, sph_sub, jnp.int32(0))
+
+        if "tris" in features:
+
+            def tri_sub(c, carry):
+                base_f = ((nss + c) * SUB).astype(jnp.float32)
+                pl.when(jnp.any(best_clu == base_f))(
+                    lambda: visit_sub(
+                        tri_cols_ref, tri_attr_ref, c, base_f
+                    )
+                )
+                return carry
+
+            if n_tri_supers > 1:
+
+                def tri_super(s, carry):
+                    lo = ((nss + s * SUPER) * SUB).astype(jnp.float32)
+                    hi = lo + float(SUPER * SUB)
+
+                    def subs():
+                        lax.fori_loop(
+                            0,
+                            SUPER,
+                            lambda j, c2: tri_sub(s * SUPER + j, c2),
+                            jnp.int32(0),
+                        )
+
+                    pl.when(
+                        jnp.any((best_clu >= lo) & (best_clu < hi))
+                    )(subs)
+                    return carry
+
+                lax.fori_loop(0, n_tri_supers, tri_super, jnp.int32(0))
+            else:
+                lax.fori_loop(0, nst, tri_sub, jnp.int32(0))
+
+        def field(name):
+            if name in _ACC2:
+                ref, i = wacc2_ref, _ACC2[name]
+            else:
+                ref, i = wacc1_ref, _ACC1[name]
+            return jnp.concatenate(
+                [
+                    ref[i : i + 1, g * LANES : (g + 1) * LANES]
+                    for g in range(ROWS)
+                ],
+                axis=0,
+            )
+
+        return field
+
     def fetch(code):
+        if fetch_mode == "winner":
+            return winner_fetch()
         if stub_fetch:
             return lambda name: zero_f + np.float32(
                 0.1 + 0.01 * fidx[name]
@@ -560,13 +754,15 @@ def _render_kernel(
         sample completed this segment - their inc must be banked).
         """
         hit = jnp.isfinite(t)
-        ts = jnp.where(jnp.isfinite(t), t, 0.0)
-        hpx = ox + dx * ts
-        hpy = oy + dy * ts
-        hpz = oz + dz * ts
 
         f = fetch(code)
         m_col_r, m_col_g, m_col_b = f("col_r"), f("col_g"), f("col_b")
+        if dup_fetch:
+            # profiling knob: a second full fetch on a code the compiler
+            # cannot prove equal; folded so the result cannot change
+            # (x + 1e30 >= any material value). Delta = pure fetch cost.
+            f2 = fetch(jnp.where(code < -1.0, code + 1.0, code))
+            m_col_r = jnp.minimum(m_col_r, f2("col_r") + np.float32(1e30))
         m_sp_r, m_sp_g, m_sp_b = f("spec_r"), f("spec_g"), f("spec_b")
         m_smooth, m_sprob = f("smooth"), f("sprob")
         if "emissive" in features or "checker" in features:
@@ -574,27 +770,55 @@ def _render_kernel(
         if {"checker", "invisible", "dielectric"} & set(features):
             m_flag = f("flag")
 
-        # ---- shading normal ----
+        # ---- exact-t recompute + hit point ----
+        # The intersect fold truncated t's low 5 mantissa bits for the
+        # index encode; re-derive full-precision t from the winning
+        # primitive's fetched parameters (numerically STABLE forms - the
+        # oc-based quadratic, t_det/det) so hit points, normals and the
+        # parity with the scalar oracle are exact. Lanes that missed keep
+        # garbage here; every consumer is masked by ``hit``.
         scx, scy, scz = f("scx"), f("scy"), f("scz")
-        nsx, nsy, nsz = _norm3(hpx - scx, hpy - scy, hpz - scz)
+        ocx_s, ocy_s, ocz_s = ox - scx, oy - scy, oz - scz
+        b_s = ocx_s * dx + ocy_s * dy + ocz_s * dz
+        cc_s = (
+            ocx_s * ocx_s + ocy_s * ocy_s + ocz_s * ocz_s - f("sr2")
+        )
+        t_exact = -b_s - jnp.sqrt(jnp.maximum(b_s * b_s - cc_s, 0.0))
         if "tris" in features:
             is_sph = f("is_sph")
             pax, pay, paz = f("pa_x"), f("pa_y"), f("pa_z")
-            ex1, ey1, ez1 = f("eab_x"), f("eab_y"), f("eab_z")
-            ex2, ey2, ez2 = f("eac_x"), f("eac_y"), f("eac_z")
             gnx, gny, gnz = f("gn_x"), f("gn_y"), f("gn_z")
             aox, aoy, aoz = ox - pax, oy - pay, oz - paz
-            daox = aoy * dz - aoz * dy
-            daoy = aoz * dx - aox * dz
-            daoz = aox * dy - aoy * dx
             det = -(dx * gnx + dy * gny + dz * gnz)
             inv_det = 1.0 / jnp.where(det == 0.0, np.float32(1.0), det)
-            ub = (ex2 * daox + ey2 * daoy + ez2 * daoz) * inv_det
-            vb = -(ex1 * daox + ey1 * daoy + ez1 * daoz) * inv_det
-            wb = 1.0 - ub - vb
-            ntx = f("na_x") * wb + f("nb_x") * ub + f("nc_x") * vb
-            nty = f("na_y") * wb + f("nb_y") * ub + f("nc_y") * vb
-            ntz = f("na_z") * wb + f("nb_z") * ub + f("nc_z") * vb
+            t_tri = (aox * gnx + aoy * gny + aoz * gnz) * inv_det
+            t_exact = jnp.where(is_sph > 0.5, t_exact, t_tri)
+        ts = jnp.where(hit, t_exact, 0.0)
+        hpx = ox + dx * ts
+        hpy = oy + dy * ts
+        hpz = oz + dz * ts
+
+        # ---- shading normal ----
+        nsx, nsy, nsz = _norm3(hpx - scx, hpy - scy, hpz - scz)
+        if "tris" in features:
+            if "vnormals" in features:
+                # barycentric interpolation of the three vertex normals
+                ex1, ey1, ez1 = f("eab_x"), f("eab_y"), f("eab_z")
+                ex2, ey2, ez2 = f("eac_x"), f("eac_y"), f("eac_z")
+                daox = aoy * dz - aoz * dy
+                daoy = aoz * dx - aox * dz
+                daoz = aox * dy - aoy * dx
+                ub = (ex2 * daox + ey2 * daoy + ez2 * daoz) * inv_det
+                vb = -(ex1 * daox + ey1 * daoy + ez1 * daoz) * inv_det
+                wb = 1.0 - ub - vb
+                ntx = f("na_x") * wb + f("nb_x") * ub + f("nc_x") * vb
+                nty = f("na_y") * wb + f("nb_y") * ub + f("nc_y") * vb
+                ntz = f("na_z") * wb + f("nb_z") * ub + f("nc_z") * vb
+            else:
+                # flat-shaded mesh: all three vertex normals are equal,
+                # so the interpolation is the constant na - fetch one row
+                # set and skip the barycentrics entirely
+                ntx, nty, ntz = f("na_x"), f("na_y"), f("na_z")
             ntx, nty, ntz = _norm3(ntx, nty, ntz)
             nx = jnp.where(is_sph > 0.5, nsx, ntx)
             ny = jnp.where(is_sph > 0.5, nsy, nty)
@@ -884,6 +1108,15 @@ def _render_kernel(
                 t, code = zero_f + 2.0, zero_f
             else:
                 t, code = intersect(ox, oy, oz, dx, dy, dz)
+                if dup_intersect:
+                    # profiling knob: run intersect a second time on inputs
+                    # the compiler cannot prove equal, fold the result in a
+                    # way that cannot change t (t2 + 1e30 >= any real t);
+                    # frame-time delta vs the baseline = pure intersect cost
+                    t2, _ = intersect(
+                        ox + np.float32(1e-30), oy, oz, dx, dy, dz
+                    )
+                    t = jnp.minimum(t, t2 + np.float32(1e30))
             any_hit = jnp.any(jnp.isfinite(t))
 
             # ---- full path: at least one lane hit geometry ----
@@ -975,15 +1208,24 @@ def mega_supported(scene: Scene, cfg: RenderConfig) -> bool:
     # n_slots); the binding constraints now are table bytes and the
     # per-row combine cost (n_slots/128 masked adds), both fine through
     # Chess-scale (~6k slots) and beyond.
-    slots = p.fetch_tab.shape[1]
-    nf = p.fetch_tab2.shape[0] // max(slots // 128, 1)
     table_bytes = (
         p.sph_sub_cols.size
         + p.tri_sub_cols.size
         + p.sph_sub_bounds.size
         + p.tri_sub_bounds.size
+        + p.sph_attr.size
+        + p.tri_attr.size
         + p.fetch_tab2.size
     ) * 4
+    if p.fetch_mode == "winner":
+        # winner post-pass fetch: tables dominate (attr + cols); scratch
+        # is the one-hot + two accumulators at (rows, tile) width
+        nwf = p.sph_attr.shape[-1]
+        tile = tile_size(p) ** 2
+        scratch_bytes = (SUB + 16 + nwf) * tile * 4
+        return table_bytes + scratch_bytes <= 13 * 1024 * 1024
+    slots = p.fetch_tab.shape[1]
+    nf = p.fetch_tab2.shape[0] // max(slots // 128, 1)
     # min-gb batched-fetch scratch (launcher shrinks gb to <= 4 MB)
     scratch_bytes = min(
         (slots // 128) * nf * LANES * 4, 4 * 1024 * 1024
@@ -991,7 +1233,6 @@ def mega_supported(scene: Scene, cfg: RenderConfig) -> bool:
     return table_bytes + scratch_bytes <= 8 * 1024 * 1024
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "interpret", "use_cull", "stub_fetch", "stub_intersect", "band_height", "collect_stats"))
 def render_frame_mega(
     scene: Scene,
     camera,
@@ -1001,6 +1242,8 @@ def render_frame_mega(
     use_cull: bool = True,
     stub_fetch: bool = False,
     stub_intersect: bool = False,
+    dup_intersect: bool = False,
+    dup_fetch: bool = False,
     y0=0,
     band_height: int | None = None,
     collect_stats: bool = False,
@@ -1010,10 +1253,40 @@ def render_frame_mega(
     Returns ((H, W, 3) f32, total live ray segments uint32). Bit-compatible
     RNG layout with the XLA path (same seeds, same draw order); output
     differs only by <=1-ulp RandomValue rounding (module docstring).
+
+    Thin wrapper: resolves the tile size OUTSIDE jit (it reads the
+    RTX_MEGA_TS env override) and passes it as a static jit arg, so
+    changing the knob between calls cannot silently hit a stale cache.
     """
+    return _render_frame_mega_ts(
+        scene, camera, cfg, frame, tile_size(scene.packed), interpret,
+        use_cull, stub_fetch, stub_intersect, dup_intersect, dup_fetch,
+        y0, band_height, collect_stats,
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "ts", "interpret", "use_cull", "stub_fetch", "stub_intersect", "dup_intersect", "dup_fetch", "band_height", "collect_stats"))
+def _render_frame_mega_ts(
+    scene: Scene,
+    camera,
+    cfg: RenderConfig,
+    frame,
+    ts: int,
+    interpret: bool = False,
+    use_cull: bool = True,
+    stub_fetch: bool = False,
+    stub_intersect: bool = False,
+    dup_intersect: bool = False,
+    dup_fetch: bool = False,
+    y0=0,
+    band_height: int | None = None,
+    collect_stats: bool = False,
+):
     import math as _math
 
     p = scene.packed
+    TS = ts
+    ROWS = (TS * TS) // LANES
     n_pix = cfg.num_pixels
     n_tx = -(-cfg.width // TS)
     # band rendering: this launch covers rows [y0, y0 + band_height)
@@ -1052,20 +1325,26 @@ def render_frame_mega(
          jnp.asarray(y0, jnp.int32)]
     )
     # Front-to-back cluster visit order for this camera (argsort of
-    # cluster-AABB center distance; traced, so camera motion does not
-    # recompile). Padding clusters have zero boxes at the origin - they
+    # point-to-AABB distance; traced, so camera motion does not
+    # recompile). Box distance, not center distance: a huge cluster the
+    # camera sits inside (the RTIOW ground sphere) has distance 0 and is
+    # visited FIRST, so its hit tightens best_t before the small clusters
+    # are tested - center distance sorted it last and the t-bound cull
+    # never fired. Padding clusters have zero boxes at the origin - they
     # sort wherever, their primitives never hit.
+    def _boxdist2(bounds):
+        p = camera.position[None, :]
+        q = jnp.clip(p, bounds[:, 0:3], bounds[:, 3:6])
+        return jnp.sum((q - p) ** 2, axis=1)
+
     def _f2b(bounds):
-        ctr = (bounds[:, 0:3] + bounds[:, 3:6]) * 0.5
-        d2 = jnp.sum((ctr - camera.position[None, :]) ** 2, axis=1)
-        return jnp.argsort(d2).astype(jnp.int32)
+        return jnp.argsort(_boxdist2(bounds)).astype(jnp.int32)
 
     def _f2b_within(bounds, n_sup):
         # front-to-back order of subs WITHIN each super block, so the
         # hierarchical gate stays valid (a super only dispatches its own
         # 32 storage-contiguous subs)
-        ctr = (bounds[:, 0:3] + bounds[:, 3:6]) * 0.5
-        d2 = jnp.sum((ctr - camera.position[None, :]) ** 2, axis=1)
+        d2 = _boxdist2(bounds)
         idx = jnp.argsort(d2.reshape(n_sup, SUPER), axis=1).astype(jnp.int32)
         base = (jnp.arange(n_sup, dtype=jnp.int32) * SUPER)[:, None]
         return (idx + base).reshape(-1)
@@ -1082,12 +1361,15 @@ def render_frame_mega(
     tperm_sup = _f2b(p.tri_super_bounds)
 
     # fetch batch width: as many ray rows per MXU dot as keep the batched
-    # dot result under ~4 MB of VMEM (big-slot scenes chunk the batch)
+    # dot result under ~4 MB of VMEM (big-slot scenes chunk the batch).
+    # Winner mode never runs the one-hot fetch - its scratch shrinks to
+    # token size (gb = 1).
     n_fc_l = p.fetch_tab.shape[1] // 128
     nf_l = p.fetch_tab2.shape[0] // n_fc_l
-    gb = ROWS
+    gb = 1 if p.fetch_mode == "winner" else ROWS
     while gb > 1 and n_fc_l * nf_l * gb * LANES * 4 > 4 * 1024 * 1024:
         gb //= 2
+    nwf = p.sph_attr.shape[-1]
 
     hist_rows = -(-(cfg.max_bounce + 1) // 8) * 8
 
@@ -1098,6 +1380,9 @@ def render_frame_mega(
         hist_rows=hist_rows,
         collect_stats=collect_stats,
         fetch_fields=p.fetch_fields,
+        attr_fields=p.attr_fields,
+        fetch_mode=p.fetch_mode,
+        ts=TS,
         nf=nf_l,
         max_bounce=cfg.max_bounce,
         width=cfg.width,
@@ -1111,6 +1396,8 @@ def render_frame_mega(
         use_cull=use_cull,
         stub_fetch=stub_fetch,
         stub_intersect=stub_intersect,
+        dup_intersect=dup_intersect,
+        dup_fetch=dup_fetch,
     )
     full = lambda a: pl.BlockSpec(
         a.shape, lambda i, ip, sp, sps, tp, tps, fp: tuple(0 for _ in a.shape),
@@ -1130,6 +1417,8 @@ def render_frame_mega(
             full(p.tri_super_bounds),
             full(p.tri_sub_cols),
             full(p.fetch_tab2),
+            full(p.sph_attr),
+            full(p.tri_attr),
         ],
         out_specs=[
             out_spec, out_spec, out_spec, out_spec,
@@ -1140,8 +1429,8 @@ def render_frame_mega(
             ),
         ],
         scratch_shapes=[
-            pltpu.VMEM((ROWS, LANES), jnp.float32),  # best_t
-            pltpu.VMEM((ROWS, LANES), jnp.float32),  # best_code
+            pltpu.VMEM((ROWS, LANES), jnp.float32),  # best enc (t | sub)
+            pltpu.VMEM((ROWS, LANES), jnp.float32),  # best cluster base
             pltpu.VMEM((ROWS, LANES), jnp.uint32),  # rng state
         ] + [pltpu.VMEM((ROWS, LANES), jnp.float32)] * 12 + [
             pltpu.VMEM((ROWS, LANES), jnp.int32),  # segs
@@ -1152,6 +1441,19 @@ def render_frame_mega(
             pltpu.VMEM(
                 (n_fc_l * nf_l, gb * LANES), jnp.float32
             ),  # fetch dot result
+            # winner-fetch scratch (token-sized in onehot mode)
+            pltpu.VMEM(
+                (SUB, (ROWS if p.fetch_mode == "winner" else 1) * LANES),
+                jnp.float32,
+            ),  # winner one-hot
+            pltpu.VMEM(
+                (16, (ROWS if p.fetch_mode == "winner" else 1) * LANES),
+                jnp.float32,
+            ),  # winner geometry acc
+            pltpu.VMEM(
+                (nwf, (ROWS if p.fetch_mode == "winner" else 1) * LANES),
+                jnp.float32,
+            ),  # winner attr acc
         ],
     )
     r, g, b, segs, hist = pl.pallas_call(
@@ -1167,7 +1469,8 @@ def render_frame_mega(
         interpret=interpret,
     )(iparams, sperm, sperm_sup, tperm, tperm_sup, fparams,
       p.sph_sub_bounds, p.sph_super_bounds, p.sph_sub_cols,
-      p.tri_sub_bounds, p.tri_super_bounds, p.tri_sub_cols, p.fetch_tab2)
+      p.tri_sub_bounds, p.tri_super_bounds, p.tri_sub_cols, p.fetch_tab2,
+      p.sph_attr, p.tri_attr)
 
     def untile(a):
         """(n_tiles * ROWS, LANES) tile-local order -> (bh, W) band crop."""

@@ -41,6 +41,12 @@ SUB = 32
 # Morton-contiguous sub-clusters (the megakernel's hierarchical cull).
 SUPER = 32
 
+# Slot-count threshold between the two megakernel fetch mechanisms: the
+# one-hot MXU fetch (cost and table bytes scale with n_slots) and the
+# winner post-pass (cost scales with winning sub-clusters per tile).
+# Tests patch this down to exercise winner mode on tiny scenes.
+ONEHOT_MAX_SLOTS = 8192
+
 # Unified per-primitive fetch-table rows (transposed: (ROWS, slots)).
 # One MXU one-hot contraction per bounce fetches material + geometry for
 # every ray's best hit. Row meanings:
@@ -50,7 +56,7 @@ SUPER = 32
 #   15-17 sphere center
 #   18-20 tri pos_a    21-23 tri edge_ab      24-26 tri edge_ac
 #   27-29 tri normal_a 30-32 tri normal_b     33-35 tri normal_c
-#   36-38 tri n (geometric)                   39   pad
+#   36-38 tri n (geometric)                   39   sphere r^2
 FETCH_ROWS = 40
 
 
@@ -62,6 +68,8 @@ FETCH_ROWS = 40
         "n_tri_subs",
         "features",
         "fetch_fields",
+        "attr_fields",
+        "fetch_mode",
         "n_sphere_supers",
         "n_tri_supers",
     )
@@ -101,6 +109,16 @@ class PackedScene:
     # triangles -> 12 of 39 rows).
     fetch_tab2: jnp.ndarray  # (n_c * nf, 128) f32
     fetch_fields: tuple
+    # winner post-pass fetch (fetch_mode == 'winner', big scenes): per-sub
+    # attr tables contracted against the winning-lane one-hot AFTER the
+    # closest-hit fold - cost scales with the number of WINNING
+    # sub-clusters per tile, not with n_slots, so 70k-slot scenes need no
+    # (rows, n_slots) table. attr_fields names the rows (material +
+    # is_sphere + vertex normals); geometry rides the sub-cols tables.
+    sph_attr: jnp.ndarray  # (NSs, SUB, nwf) f32
+    tri_attr: jnp.ndarray  # (NSt, SUB, nwf) f32
+    attr_fields: tuple
+    fetch_mode: str  # 'onehot' | 'winner'
     # super-cluster AABBs (32 sub-clusters each, Morton-contiguous): the
     # kernel culls a super with one slab test before touching its subs -
     # the second level of the reference's per-chunk AABB gate. Sub tables
@@ -137,6 +155,11 @@ def pack_scene(scene: Scene) -> PackedScene:
     real_s = np.nonzero(radii > 0)[0]
 
     if len(real_s):
+        # NOTE (measured, round 2): isolating oversized spheres (the RTIOW
+        # r=1000 ground) into their own sub-cluster LOSES ~15%: a lone
+        # sphere still costs a full 32-slot block of pair tests on every
+        # visit (31 dead padding lanes), plus extra sub-clusters. The
+        # poisoned-AABB downside it was meant to fix is smaller than that.
         order = real_s[_morton_order(centers[real_s])]
         s_pad = -(-len(order) // CLUSTER) * CLUSTER
         c = np.zeros((s_pad, 3), np.float32)
@@ -217,8 +240,11 @@ def pack_scene(scene: Scene) -> PackedScene:
     sph_sub_cols = np.zeros((nss, SUB, 8), np.float32)
     sph_sub_cols[:, :, 0:3] = c.reshape(nss, SUB, 3)
     sph_sub_cols[:, :, 3] = r.reshape(nss, SUB)
-    # column 4 = r^2 for the kernel's direct quadratic (oc.oc - r^2)
-    sph_sub_cols[:, :, 4] = (r * r).reshape(nss, SUB)
+    # column 4 = r^2 for the kernel's direct quadratic (oc.oc - r^2).
+    # Dead/padding slots (r <= 0) store -1e30 so cc = oc.oc + 1e30 makes
+    # disc = b^2 - cc < 0 unconditionally - the kernel needs no r > 0
+    # test in its hot loop.
+    sph_sub_cols[:, :, 4] = np.where(r > 0, r * r, -1e30).reshape(nss, SUB)
     sph_sub_bounds = np.zeros((nss, 8), np.float32)
     for k in range(nss):
         cs = c[k * SUB : (k + 1) * SUB]
@@ -247,48 +273,22 @@ def pack_scene(scene: Scene) -> PackedScene:
             tri_sub_bounds[k, :3] = verts.min(axis=0)
             tri_sub_bounds[k, 3:6] = verts.max(axis=0)
 
-    # ---- unified fetch table: material + geometry per packed slot -------
-    # Scenes with no real triangles drop the (all-padding) triangle slot
-    # block entirely: the kernel's one-hot build cost is linear in n_slots.
+    # ---- scene features (drive code specialization + field selection) ---
     mats = scene.materials
     n_slots = s_pad + t_pad if len(real_t) else s_pad
-    fetch = np.zeros((FETCH_ROWS, n_slots), np.float32)
-
-    def mat_rows(dst_slice, mat_idx):
-        fetch[0:3, dst_slice] = np.asarray(mats.colour)[mat_idx].T
-        fetch[3:6, dst_slice] = np.asarray(mats.emission_colour)[mat_idx].T
-        fetch[6:9, dst_slice] = np.asarray(mats.specular_colour)[mat_idx].T
-        fetch[9, dst_slice] = np.asarray(mats.emission_strength)[mat_idx]
-        fetch[10, dst_slice] = np.asarray(mats.smoothness)[mat_idx]
-        fetch[11, dst_slice] = np.asarray(mats.specular_probability)[mat_idx]
-        fetch[12, dst_slice] = np.asarray(mats.flag)[mat_idx].astype(
-            np.float32
-        )
-        fetch[13, dst_slice] = np.asarray(mats.ior)[mat_idx]
-
-    sph_mat = np.asarray(scene.spheres.mat_idx)[perm]
-    mat_rows(slice(0, s_pad), sph_mat)
-    fetch[14, :s_pad] = 1.0  # is_sphere
-    fetch[15:18, :s_pad] = c.T
-
+    flags = np.asarray(scene.materials.flag)
+    feats = []
+    na = nb = nc_ = None
     if len(real_t):
-        tri_mat = np.asarray(scene.triangles.mat_idx)[tperm]
-        mat_rows(slice(s_pad, n_slots), tri_mat)
+        feats.append("tris")
         na = np.asarray(scene.triangles.normal_a)[tperm]
         nb = np.asarray(scene.triangles.normal_b)[tperm]
         nc_ = np.asarray(scene.triangles.normal_c)[tperm]
-        fetch[18:21, s_pad:] = tpa.T
-        fetch[21:24, s_pad:] = teab.T
-        fetch[24:27, s_pad:] = teac.T
-        fetch[27:30, s_pad:] = na.T
-        fetch[30:33, s_pad:] = nb.T
-        fetch[33:36, s_pad:] = nc_.T
-        fetch[36:39, s_pad:] = tn.T
-
-    flags = np.asarray(scene.materials.flag)
-    feats = []
-    if len(real_t):
-        feats.append("tris")
+        # flat-shaded meshes (all three vertex normals identical per tri)
+        # interpolate to a constant: fetch one normal row set, skip the
+        # barycentric interpolation entirely
+        if not (np.array_equal(na, nb) and np.array_equal(nb, nc_)):
+            feats.append("vnormals")
     from ..models.geometry import (
         FLAG_CHECKER as _FC,
         FLAG_DIELECTRIC as _FD,
@@ -307,8 +307,90 @@ def pack_scene(scene: Scene) -> PackedScene:
         if float(scene.env.sun_intensity) > 0:
             feats.append("sun")
 
-    # two-level fetch operand (see PackedScene.fetch_tab2): select only the
-    # rows this scene's feature set can read, in a dense order.
+    def _mat_vals(name, mat_idx):
+        v = np.asarray(getattr(mats, name))[mat_idx]
+        return v.astype(np.float32)
+
+    sph_mat = np.asarray(scene.spheres.mat_idx)[perm]
+    tri_mat = (
+        np.asarray(scene.triangles.mat_idx)[tperm] if len(real_t) else None
+    )
+
+    # material + per-type scalar rows by field name, used by both fetch
+    # table builders below
+    def _field_col(name, mat_idx, kind):
+        if name == "col_r":
+            return _mat_vals("colour", mat_idx)[:, 0]
+        if name == "col_g":
+            return _mat_vals("colour", mat_idx)[:, 1]
+        if name == "col_b":
+            return _mat_vals("colour", mat_idx)[:, 2]
+        if name in ("em_r", "em_g", "em_b"):
+            i = ("em_r", "em_g", "em_b").index(name)
+            return _mat_vals("emission_colour", mat_idx)[:, i]
+        if name in ("spec_r", "spec_g", "spec_b"):
+            i = ("spec_r", "spec_g", "spec_b").index(name)
+            return _mat_vals("specular_colour", mat_idx)[:, i]
+        if name == "estr":
+            return _mat_vals("emission_strength", mat_idx)
+        if name == "smooth":
+            return _mat_vals("smoothness", mat_idx)
+        if name == "sprob":
+            return _mat_vals("specular_probability", mat_idx)
+        if name == "flag":
+            return _mat_vals("flag", mat_idx)
+        if name == "ior":
+            return _mat_vals("ior", mat_idx)
+        if name == "is_sph":
+            n = len(mat_idx)
+            return np.full(n, 1.0 if kind == "sph" else 0.0, np.float32)
+        raise KeyError(name)
+
+    # winner-fetch attr field list (material + is_sphere + vertex normals;
+    # geometry comes from the existing sub-cols tables via a second dot)
+    wfields = ["col_r", "col_g", "col_b", "spec_r", "spec_g", "spec_b",
+               "smooth", "sprob"]
+    if "emissive" in feats or "checker" in feats:
+        wfields += ["em_r", "em_g", "em_b"]
+    if "emissive" in feats:
+        wfields += ["estr"]
+    if {"checker", "invisible", "dielectric"} & set(feats):
+        wfields += ["flag"]
+    if "dielectric" in feats:
+        wfields += ["ior"]
+    wfields += ["is_sph"]
+    if "tris" in feats:
+        wfields += ["na_x", "na_y", "na_z"]
+        if "vnormals" in feats:
+            wfields += ["nb_x", "nb_y", "nb_z", "nc_x", "nc_y", "nc_z"]
+    nwf = -(-len(wfields) // 8) * 8
+
+    sph_attr = np.zeros((s_pad, nwf), np.float32)
+    for i, name in enumerate(wfields):
+        if name.startswith(("na_", "nb_", "nc_")):
+            continue
+        sph_attr[:, i] = _field_col(name, sph_mat, "sph")
+    sph_attr = sph_attr.reshape(nss, SUB, nwf)
+
+    if len(real_t):
+        tri_attr = np.zeros((t_pad, nwf), np.float32)
+        for i, name in enumerate(wfields):
+            if name.startswith(("na_", "nb_", "nc_")):
+                src = {"na": na, "nb": nb, "nc": nc_}[name[:2]]
+                tri_attr[:, i] = src[:, "xyz".index(name[3])]
+            else:
+                tri_attr[:, i] = _field_col(name, tri_mat, "tri")
+        tri_attr = tri_attr.reshape(nst, SUB, nwf)
+    else:
+        tri_attr = np.zeros((nst, SUB, nwf), np.float32)
+
+    # ---- one-hot fetch tables (small scenes only) ------------------------
+    # The (FETCH_ROWS, n_slots) table + its two-level operand scale with
+    # slot count (bytes AND the kernel's per-row cluster combine); beyond
+    # this threshold the megakernel switches to the winner post-pass fetch
+    # (attr tables above) and these stay token-sized.
+    fetch_mode = "onehot" if n_slots <= ONEHOT_MAX_SLOTS else "winner"
+
     legacy = {
         "col_r": 0, "col_g": 1, "col_b": 2,
         "em_r": 3, "em_g": 4, "em_b": 5,
@@ -323,12 +405,13 @@ def pack_scene(scene: Scene) -> PackedScene:
         "nb_x": 30, "nb_y": 31, "nb_z": 32,
         "nc_x": 33, "nc_y": 34, "nc_z": 35,
         "gn_x": 36, "gn_y": 37, "gn_z": 38,
+        "sr2": 39,
     }
     fields = [
         "col_r", "col_g", "col_b",
         "spec_r", "spec_g", "spec_b",
         "smooth", "sprob",
-        "scx", "scy", "scz",
+        "scx", "scy", "scz", "sr2",
     ]
     if "emissive" in feats or "checker" in feats:
         fields += ["em_r", "em_g", "em_b"]
@@ -340,21 +423,66 @@ def pack_scene(scene: Scene) -> PackedScene:
         fields += ["ior"]
     if "tris" in feats:
         fields += ["is_sph"]
-        for base in ("pa", "eab", "eac", "na", "nb", "nc", "gn"):
+        bases = ["pa", "gn", "na"]
+        if "vnormals" in feats:
+            bases += ["nb", "nc"]
+            bases += ["eab", "eac"]  # barycentric interpolation inputs
+        for base in bases:
             fields += [f"{base}_x", f"{base}_y", f"{base}_z"]
-    nf = -(-len(fields) // 8) * 8  # sublane-aligned
-    n_c = n_slots // 128
-    fetch_sel = np.zeros((nf, n_slots), np.float32)
-    fetch_sel[: len(fields)] = fetch[[legacy[f] for f in fields]]
-    fetch2 = (
-        fetch_sel
-        .reshape(nf, n_c, 128)
-        .transpose(1, 0, 2)
-        .reshape(n_c * nf, 128)
-        .copy()
-    )
 
-    def _supers(sub_bounds, sub_cols):
+    if fetch_mode == "onehot":
+        fetch = np.zeros((FETCH_ROWS, n_slots), np.float32)
+
+        def mat_rows(dst_slice, mat_idx):
+            fetch[0:3, dst_slice] = np.asarray(mats.colour)[mat_idx].T
+            fetch[3:6, dst_slice] = np.asarray(mats.emission_colour)[
+                mat_idx
+            ].T
+            fetch[6:9, dst_slice] = np.asarray(mats.specular_colour)[
+                mat_idx
+            ].T
+            fetch[9, dst_slice] = np.asarray(mats.emission_strength)[mat_idx]
+            fetch[10, dst_slice] = np.asarray(mats.smoothness)[mat_idx]
+            fetch[11, dst_slice] = np.asarray(mats.specular_probability)[
+                mat_idx
+            ]
+            fetch[12, dst_slice] = np.asarray(mats.flag)[mat_idx].astype(
+                np.float32
+            )
+            fetch[13, dst_slice] = np.asarray(mats.ior)[mat_idx]
+
+        mat_rows(slice(0, s_pad), sph_mat)
+        fetch[14, :s_pad] = 1.0  # is_sphere
+        fetch[15:18, :s_pad] = c.T
+        fetch[39, :s_pad] = r * r  # exact-t recompute (segment_body)
+
+        if len(real_t):
+            mat_rows(slice(s_pad, n_slots), tri_mat)
+            fetch[18:21, s_pad:] = tpa.T
+            fetch[21:24, s_pad:] = teab.T
+            fetch[24:27, s_pad:] = teac.T
+            fetch[27:30, s_pad:] = na.T
+            fetch[30:33, s_pad:] = nb.T
+            fetch[33:36, s_pad:] = nc_.T
+            fetch[36:39, s_pad:] = tn.T
+
+        nf = -(-len(fields) // 8) * 8  # sublane-aligned
+        n_c = n_slots // 128
+        fetch_sel = np.zeros((nf, n_slots), np.float32)
+        fetch_sel[: len(fields)] = fetch[[legacy[f] for f in fields]]
+        fetch2 = (
+            fetch_sel
+            .reshape(nf, n_c, 128)
+            .transpose(1, 0, 2)
+            .reshape(n_c * nf, 128)
+            .copy()
+        )
+    else:
+        # token-sized placeholders: the winner post-pass never reads them
+        fetch = np.zeros((FETCH_ROWS, 128), np.float32)
+        fetch2 = np.zeros((8, 128), np.float32)
+
+    def _supers(sub_bounds, sub_cols, sub_attr):
         ns = sub_bounds.shape[0]
         n_sup = -(-ns // SUPER)
         pad = n_sup * SUPER - ns
@@ -365,6 +493,9 @@ def pack_scene(scene: Scene) -> PackedScene:
             sub_bounds = np.concatenate([sub_bounds, inv])
             sub_cols = np.concatenate(
                 [sub_cols, np.zeros((pad,) + sub_cols.shape[1:], np.float32)]
+            )
+            sub_attr = np.concatenate(
+                [sub_attr, np.zeros((pad,) + sub_attr.shape[1:], np.float32)]
             )
         sup = np.zeros((n_sup, 8), np.float32)
         for k in range(n_sup):
@@ -378,13 +509,13 @@ def pack_scene(scene: Scene) -> PackedScene:
             else:
                 sup[k, :3] = 1e30
                 sup[k, 3:6] = -1e30
-        return sub_bounds, sub_cols, sup
+        return sub_bounds, sub_cols, sub_attr, sup
 
-    sph_sub_bounds, sph_sub_cols, sph_super_bounds = _supers(
-        sph_sub_bounds, sph_sub_cols
+    sph_sub_bounds, sph_sub_cols, sph_attr, sph_super_bounds = _supers(
+        sph_sub_bounds, sph_sub_cols, sph_attr
     )
-    tri_sub_bounds, tri_sub_cols, tri_super_bounds = _supers(
-        tri_sub_bounds, tri_sub_cols
+    tri_sub_bounds, tri_sub_cols, tri_attr, tri_super_bounds = _supers(
+        tri_sub_bounds, tri_sub_cols, tri_attr
     )
 
     return PackedScene(
@@ -408,6 +539,10 @@ def pack_scene(scene: Scene) -> PackedScene:
         fetch_tab=jnp.asarray(fetch),
         fetch_tab2=jnp.asarray(fetch2),
         fetch_fields=tuple(fields),
+        sph_attr=jnp.asarray(sph_attr),
+        tri_attr=jnp.asarray(tri_attr),
+        attr_fields=tuple(wfields),
+        fetch_mode=fetch_mode,
         n_sphere_clusters=int(ncs),
         n_tri_clusters=int(nct),
         n_sphere_subs=int(nss),

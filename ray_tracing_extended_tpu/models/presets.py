@@ -209,7 +209,7 @@ def mesh_scene(
     )
     cfg = RenderConfig(
         width=width, height=height, max_bounce=max_bounce, spp=spp,
-        clamp_accumulate=False, intersector="bvh",
+        clamp_accumulate=False, intersector="auto",
     )
     return scene, cam, cfg
 

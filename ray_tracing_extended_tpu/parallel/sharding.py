@@ -172,7 +172,9 @@ def render_frame_mega_sharded(
     Returns ((H, W, 3) image, total live segments) with the image laid out
     row-sharded over 'tiles'.
     """
-    from ..kernels.megakernel import TS, render_frame_mega
+    from ..kernels.megakernel import render_frame_mega, tile_size
+
+    TS = tile_size(scene.packed)
 
     # CPU (tests / virtual meshes) requires Pallas interpret mode
     interpret = mesh.devices.flat[0].platform != "tpu"

@@ -127,13 +127,13 @@ def _round_up(x: int, m: int) -> int:
 
 def _use_megakernel(scene: Scene, cfg: RenderConfig) -> bool:
     """The fused Pallas megakernel handles whole frames on TPU for scenes
-    whose packed tables fit VMEM; BVH scenes and other intersector choices
-    use the XLA bounce loop."""
+    whose packed tables fit VMEM (one-hot fetch for small scenes, the
+    winner post-pass for big ones); other intersector choices use the XLA
+    bounce loop. A scene carrying a BVH still prefers the megakernel when
+    supported - the BVH remains the XLA fallback."""
     if cfg.intersector == "mega":
         return True
     if cfg.intersector != "auto":
-        return False
-    if scene.tri_bvh is not None or scene.sphere_bvh is not None:
         return False
     try:
         import jax as _jax

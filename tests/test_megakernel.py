@@ -83,3 +83,53 @@ def test_mega_segment_count_sane():
     n_paths = 64 * 32 * 2
     # every path traces at least 1 and at most max_bounce+1 segments
     assert n_paths <= int(segs) <= n_paths * (cfg.max_bounce + 1)
+
+
+def test_mega_tile_size_invariant(monkeypatch):
+    """Per-pixel output is independent of the screen tiling: seeds are
+    global pixel indices and each lane runs its own sample state machine,
+    so re-tiling only re-orders lanes. conftest pins RTX_MEGA_TS=32 for
+    interpret-mode speed; this guards that the knob cannot change images."""
+    import os
+
+    scene, cam, cfg = three_sphere_scene(width=48, height=32, spp=1)
+    monkeypatch.setitem(os.environ, "RTX_MEGA_TS", "32")
+    a, _ = render_frame_mega(scene, cam, cfg, jnp.uint32(1), interpret=True)
+    monkeypatch.setitem(os.environ, "RTX_MEGA_TS", "16")
+    b, _ = render_frame_mega(scene, cam, cfg, jnp.uint32(1), interpret=True)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_mega_winner_fetch_matches_onehot(monkeypatch):
+    """The winner post-pass fetch (big scenes: attr tables contracted
+    against the winning-lane one-hot AFTER the closest-hit fold) must be
+    bit-compatible with the one-hot fetch - same fields, same winners.
+    Forced on a tiny mixed sphere+triangle scene by patching the slot
+    threshold; the real trigger is n_slots > ONEHOT_MAX_SLOTS (pack.py)."""
+    from ray_tracing_extended_tpu.kernels import pack as pack_mod
+
+    scene, cam, cfg = cornell_box_scene(width=64, height=64, max_bounce=3,
+                                        spp=1)
+    assert scene.packed.fetch_mode == "onehot"
+    a, _ = render_frame_mega(scene, cam, cfg, jnp.uint32(2), interpret=True)
+
+    monkeypatch.setattr(pack_mod, "ONEHOT_MAX_SLOTS", 0)
+    scene_w, cam, cfg = cornell_box_scene(width=64, height=64, max_bounce=3,
+                                          spp=1)
+    assert scene_w.packed.fetch_mode == "winner"
+    b, _ = render_frame_mega(scene_w, cam, cfg, jnp.uint32(2),
+                             interpret=True)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_mega_winner_fetch_spheres_only(monkeypatch):
+    from ray_tracing_extended_tpu.kernels import pack as pack_mod
+
+    scene, cam, cfg = three_sphere_scene(width=64, height=32, spp=2)
+    a, _ = render_frame_mega(scene, cam, cfg, jnp.uint32(0), interpret=True)
+    monkeypatch.setattr(pack_mod, "ONEHOT_MAX_SLOTS", 0)
+    scene_w, cam, cfg = three_sphere_scene(width=64, height=32, spp=2)
+    assert scene_w.packed.fetch_mode == "winner"
+    b, _ = render_frame_mega(scene_w, cam, cfg, jnp.uint32(0),
+                             interpret=True)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
