@@ -86,13 +86,33 @@ import os as _os
 LANES = 128
 
 
-def tile_size(packed) -> int:
+def tile_size(packed, adaptive: bool = False) -> int:
     env = _os.environ.get("RTX_MEGA_TS")
     if env:
         return int(env)
-    return 96 if packed.fetch_mode == "onehot" else 64
+    if packed.fetch_mode != "onehot":
+        return 64
+    # measured on the RTIOW 1080p headline: fixed-spp optimum is 96
+    # (312 ms vs 318 @ 64, 322 @ 128); with adaptive refill the optimum
+    # shifts to 128 (253 Mrays/s vs 245 @ 96) - bigger tiles amortise the
+    # slowest-lane quota across more refill work
+    return 128 if adaptive else 96
+
+
+# NEGATIVE RESULT (round 2, measured on the RTIOW 1080p headline): gating
+# row GROUPS inside a visited sub-cluster on jnp.any(mask[g0:g1]) loses at
+# every granularity - 9 rows: 399 ms, 12: 374, 18: 331, 24: 322 vs 312 ms
+# ungated - because with persistent-lane re-seeding every row mixes fresh
+# coherent rays with old divergent ones, so groups are almost always hot
+# and the scf.if + any-reduce is pure overhead. Same conclusion as the
+# earlier single-row experiment (~90 ns/scf.if). Cull at sub/super
+# granularity only; keep visited-sub row loops flat.
 
 _INF = np.float32(np.inf)
+# closest-hit encode masks: low log2(SUB) mantissa bits of t carry the
+# within-cluster sub index (see the intersect docstring)
+_SUBM = np.int32(SUB - 1)
+_SUBMN = np.int32(~(SUB - 1))
 _DET_EPS = np.float32(1e-6)
 _U = lambda x: jnp.uint32(x)
 
@@ -164,6 +184,9 @@ def _render_kernel(
     #   18-20 ground colour  21-23 horizon colour  24-26 zenith colour
     #   27   sun_focus 28 sun_intensity  29-31 sun_dir  32-35 pad
     fp_ref,
+    # SMEM f32 (max(1, n_hoist)*8,): hoisted oversized spheres (pack.py
+    # _hoist_candidates), 8 floats each: cx cy cz r^2 sub_base sub_idx p p
+    hp_ref,
     sph_bounds_ref,  # (NSs_pad, 8) sub-cluster AABBs
     sph_super_ref,  # (NSs_pad/32, 8) super-cluster AABBs
     sph_cols_ref,  # (NSs_pad, SUB, 8): cx, cy, cz, r, r2, pad3
@@ -209,12 +232,15 @@ def _render_kernel(
     height: int,
     ts: int,
     nss: int,
+    nss_visit: int,
+    n_hoist: int,
     nst: int,
     n_sph_supers: int,
     n_tri_supers: int,
     n_slots: int,
     features: tuple = (),
     hist_rows: int = 8,
+    adaptive: bool = False,
     collect_stats: bool = False,
     use_cull: bool = True,
     stub_fetch: bool = False,
@@ -225,6 +251,12 @@ def _render_kernel(
     pid = pl.program_id(0)
     TS = ts  # shadow: tile size is per-launch (see tile_size())
     ROWS = (ts * ts) // LANES
+    # Cull diagnostics ride the spare hist rows when stats are on and the
+    # bounce histogram leaves at least 3 free: row hist_rows-1 counts
+    # sphere sub-cluster visits (post-cull), -2 tri sub visits, -3 slot
+    # iterations. Each count is +1 across a 128-lane row; consumers
+    # normalise by 128 * n_tiles (tools/cull_stats.py).
+    count_visits = collect_stats and hist_rows >= max_bounce + 4
     sub_i = lax.broadcasted_iota(jnp.int32, (ROWS, LANES), 0)
     lane = lax.broadcasted_iota(jnp.int32, (ROWS, LANES), 1)
     # Layout-anchored zeros: splat-constant loop-carry inits trigger a
@@ -344,6 +376,42 @@ def _render_kernel(
         best_clu_ref[...] = zero_f
         sub_iota_i = lax.broadcasted_iota(jnp.int32, (SUB, LANES), 0)
 
+        # Hoisted oversized spheres (the RTIOW ground): one full-tile
+        # elementwise quadratic per sphere from SMEM params - their
+        # sub-cluster AABB could never cull (it contains the scene), so
+        # clustered testing paid a whole 32-slot visit every slot. Runs
+        # FIRST: a ground hit tightens best_t before any slab test, which
+        # is exactly the front-to-back ideal (distance 0). Parked lanes
+        # (origin +1e9 heading +x) get b > 0 -> tq < 0 -> miss.
+        for k in range(n_hoist):
+            hx, hy, hz = (
+                hp_ref[k * 8 + 0], hp_ref[k * 8 + 1], hp_ref[k * 8 + 2]
+            )
+            hr2 = hp_ref[k * 8 + 3]
+            base_f = hp_ref[k * 8 + 4]
+            sub_k = hp_ref[k * 8 + 5].astype(jnp.int32)
+            hocx, hocy, hocz = ox - hx, oy - hy, oz - hz
+            hb = hocx * dx + hocy * dy + hocz * dz
+            hcc = hocx * hocx + hocy * hocy + hocz * hocz - hr2
+            hdisc = hb * hb - hcc
+            htq = -hb - jnp.sqrt(jnp.maximum(hdisc, 0.0))
+            enc = jnp.where(
+                (hdisc >= 0.0) & (htq >= 0.0),
+                pltpu.bitcast(
+                    (pltpu.bitcast(htq, jnp.int32) & _SUBMN)
+                    | sub_k,
+                    jnp.float32,
+                ),
+                _INF,
+            )
+            old = best_enc_ref[...]
+            better = enc < old
+            best_enc_ref[...] = jnp.minimum(enc, old)
+            oldc = best_clu_ref[...]
+            best_clu_ref[...] = jnp.where(
+                better, oldc * 0.0 + base_f, oldc
+            )
+
         def tile_hits(bounds_ref, c):
             """Per-lane cluster-AABB mask (ROWS, 128): the t-bounded slab
             test (RayTracing.shader:177-187 lifted per-tile). Parked lanes
@@ -377,7 +445,7 @@ def _render_kernel(
             enc = jnp.where(
                 valid,
                 pltpu.bitcast(
-                    (pltpu.bitcast(tq, jnp.int32) & np.int32(~31))
+                    (pltpu.bitcast(tq, jnp.int32) & _SUBMN)
                     | sub_iota_i,
                     jnp.float32,
                 ),
@@ -395,6 +463,13 @@ def _render_kernel(
                 better, old_clu * 0.0 + clu_f, old_clu
             )
 
+        def visit_rows(row_visit, mask):
+            # flat row loop - see the NEGATIVE RESULT note at module top
+            # on why intra-visit row(-group) gating loses
+            del mask
+            for g in range(ROWS):
+                row_visit(g)
+
         def sphere_cluster(ci, carry):
             # Front-to-back: visit clusters nearest the camera first so
             # best_t tightens early and the t-bounded slab test culls the
@@ -405,6 +480,11 @@ def _render_kernel(
             mask = tile_hits(sph_bounds_ref, c) if use_cull else None
 
             def visit():
+                if count_visits:
+                    r = hist_rows - 1
+                    out_hist_ref[r : r + 1, :] = (
+                        out_hist_ref[r : r + 1, :] + 1
+                    )
                 cols = sph_cols_ref[c]  # (SUB, 8)
                 cx = cols[:, 0:1]
                 cy = cols[:, 1:2]
@@ -429,11 +509,7 @@ def _render_kernel(
                     valid = (disc >= 0.0) & (tq >= 0.0)
                     fold_pair(g, valid, tq, clu_f)
 
-                # NOTE: row-level pl.when gates were measured at ~90 ns
-                # per scf.if on this stack - far more than the (SUB, 128)
-                # work they can skip. Gate at cluster granularity only.
-                for g in range(ROWS):
-                    row_visit(g)
+                visit_rows(row_visit, mask)
 
             if use_cull:
                 pl.when(jnp.any(mask))(visit)
@@ -464,13 +540,20 @@ def _render_kernel(
 
             lax.fori_loop(0, n_sph_supers, sphere_super, jnp.int32(0))
         else:
-            lax.fori_loop(0, nss, sphere_cluster, jnp.int32(0))
+            # nss_visit excludes the trailing hoisted block (pack.py
+            # guarantees n_hoist == 0 whenever supers > 1)
+            lax.fori_loop(0, nss_visit, sphere_cluster, jnp.int32(0))
 
         def tri_cluster(ci, carry):
             c = tperm_ref[ci]
             mask = tile_hits(tri_bounds_ref, c) if use_cull else None
 
             def visit():
+                if count_visits:
+                    r = hist_rows - 2
+                    out_hist_ref[r : r + 1, :] = (
+                        out_hist_ref[r : r + 1, :] + 1
+                    )
                 cols = tri_cols_ref[c]  # (SUB, 16)
                 pax, pay, paz = cols[:, 0:1], cols[:, 1:2], cols[:, 2:3]
                 ex1, ey1, ez1 = cols[:, 3:4], cols[:, 4:5], cols[:, 5:6]
@@ -504,9 +587,7 @@ def _render_kernel(
                     tq = t_det / jnp.where(det >= _DET_EPS, det, 1.0)
                     fold_pair(g, hit, tq, clu_f)
 
-                # Cluster-level gating only (see sphere_cluster note).
-                for g in range(ROWS):
-                    row_visit(g)
+                visit_rows(row_visit, mask)
 
             if use_cull:
                 pl.when(jnp.any(mask))(visit)
@@ -538,7 +619,7 @@ def _render_kernel(
         # decode: t_approx is +inf on miss (isfinite = hit test);
         # code = winning cluster slot base + sub index (fetch key)
         t_approx = best_enc_ref[...]
-        sub = pltpu.bitcast(t_approx, jnp.int32) & np.int32(31)
+        sub = pltpu.bitcast(t_approx, jnp.int32) & _SUBM
         code = best_clu_ref[...] + sub.astype(jnp.float32)
         return t_approx, code
 
@@ -572,7 +653,7 @@ def _render_kernel(
         walk all n_slots/128 blocks."""
         best_clu = best_clu_ref[...]
         enc_i = pltpu.bitcast(best_enc_ref[...], jnp.int32)
-        best_sub = (enc_i & np.int32(31)).astype(jnp.float32)
+        best_sub = (enc_i & _SUBM).astype(jnp.float32)
         sub_f = lax.broadcasted_iota(
             jnp.int32, (SUB, LANES), 0
         ).astype(jnp.float32)
@@ -1033,7 +1114,19 @@ def _render_kernel(
 
         @pl.when(jnp.any(live0 | (ns < spp)))
         def _():
-            need = (~live0) & (ns < spp)
+            if count_visits:
+                r = hist_rows - 3
+                out_hist_ref[r : r + 1, :] = out_hist_ref[r : r + 1, :] + 1
+            if adaptive:
+                # sample refill (cfg.adaptive_spp): lanes past their spp
+                # quota start EXTRA samples while any tile lane is still
+                # below it. Refill stops the moment the slowest lane
+                # reaches spp, so the loop drains within one path length;
+                # the slot bound still guarantees every lane banks >= spp
+                # (a lane only overflows AFTER completing its quota).
+                need = (~live0) & ((ns < spp) | jnp.any(ns < spp))
+            else:
+                need = (~live0) & (ns < spp)
 
             # ---- re-seed dead lanes with their next camera sample ----
             # (frag, RayTracing.shader:374-385: defocus origin jitter on
@@ -1187,10 +1280,17 @@ def _render_kernel(
 
     lax.fori_loop(0, spp * (max_bounce + 1), slot_body, jnp.int32(0))
 
-    inv_spp = np.float32(1.0 / spp)
-    out_r_ref[:] = s_tr_ref[...] * inv_spp
-    out_g_ref[:] = s_tg_ref[...] * inv_spp
-    out_b_ref[:] = s_tb_ref[...] * inv_spp
+    if adaptive:
+        # per-pixel mean over the samples that actually completed (>= spp;
+        # every lane reaches its quota within the slot bound)
+        inv_n = 1.0 / jnp.maximum(
+            s_ns_ref[...].astype(jnp.float32), np.float32(1.0)
+        )
+    else:
+        inv_n = np.float32(1.0 / spp)
+    out_r_ref[:] = s_tr_ref[...] * inv_n
+    out_g_ref[:] = s_tg_ref[...] * inv_n
+    out_b_ref[:] = s_tb_ref[...] * inv_n
     out_segs_ref[:] = s_segs_ref[...]
 
 
@@ -1259,7 +1359,8 @@ def render_frame_mega(
     changing the knob between calls cannot silently hit a stale cache.
     """
     return _render_frame_mega_ts(
-        scene, camera, cfg, frame, tile_size(scene.packed), interpret,
+        scene, camera, cfg, frame,
+        tile_size(scene.packed, cfg.adaptive_spp), interpret,
         use_cull, stub_fetch, stub_intersect, dup_intersect, dup_fetch,
         y0, band_height, collect_stats,
     )
@@ -1352,7 +1453,9 @@ def _render_frame_mega_ts(
     if p.n_sphere_supers > 1:
         sperm = _f2b_within(p.sph_sub_bounds, p.n_sphere_supers)
     else:
-        sperm = _f2b(p.sph_sub_bounds[: p.n_sphere_subs])
+        # hoisted spheres (trailing subs past n_sphere_subs_visit) are
+        # tested from SMEM params, not the cluster loop
+        sperm = _f2b(p.sph_sub_bounds[: max(p.n_sphere_subs_visit, 1)])
     sperm_sup = _f2b(p.sph_super_bounds)
     if p.n_tri_supers > 1:
         tperm = _f2b_within(p.tri_sub_bounds, p.n_tri_supers)
@@ -1378,6 +1481,7 @@ def _render_frame_mega_ts(
         spp=cfg.spp,
         gb=gb,
         hist_rows=hist_rows,
+        adaptive=cfg.adaptive_spp,
         collect_stats=collect_stats,
         fetch_fields=p.fetch_fields,
         attr_fields=p.attr_fields,
@@ -1388,6 +1492,8 @@ def _render_frame_mega_ts(
         width=cfg.width,
         height=cfg.height,
         nss=p.n_sphere_subs,
+        nss_visit=p.n_sphere_subs_visit,
+        n_hoist=p.n_hoist,
         nst=p.n_tri_subs,
         n_sph_supers=p.n_sphere_supers,
         n_tri_supers=p.n_tri_supers,
@@ -1400,14 +1506,16 @@ def _render_frame_mega_ts(
         dup_fetch=dup_fetch,
     )
     full = lambda a: pl.BlockSpec(
-        a.shape, lambda i, ip, sp, sps, tp, tps, fp: tuple(0 for _ in a.shape),
+        a.shape,
+        lambda i, ip, sp, sps, tp, tps, fp, hp: tuple(0 for _ in a.shape),
         memory_space=pltpu.VMEM,
     )
     out_spec = pl.BlockSpec(
-        (ROWS, LANES), lambda i, ip, sp, sps, tp, tps, fp: (i, 0), memory_space=pltpu.VMEM
+        (ROWS, LANES), lambda i, ip, sp, sps, tp, tps, fp, hp: (i, 0),
+        memory_space=pltpu.VMEM,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=6,
+        num_scalar_prefetch=7,
         grid=(n_tiles,),
         in_specs=[
             full(p.sph_sub_bounds),
@@ -1424,7 +1532,7 @@ def _render_frame_mega_ts(
             out_spec, out_spec, out_spec, out_spec,
             pl.BlockSpec(
                 (hist_rows, LANES),
-                lambda i, ip, sp, sps, tp, tps, fp: (i, 0),
+                lambda i, ip, sp, sps, tp, tps, fp, hp: (i, 0),
                 memory_space=pltpu.VMEM,
             ),
         ],
@@ -1467,7 +1575,7 @@ def _render_frame_mega_ts(
             jax.ShapeDtypeStruct((n_tiles * hist_rows, LANES), jnp.int32),
         ],
         interpret=interpret,
-    )(iparams, sperm, sperm_sup, tperm, tperm_sup, fparams,
+    )(iparams, sperm, sperm_sup, tperm, tperm_sup, fparams, p.hoist_params,
       p.sph_sub_bounds, p.sph_super_bounds, p.sph_sub_cols,
       p.tri_sub_bounds, p.tri_super_bounds, p.tri_sub_cols, p.fetch_tab2,
       p.sph_attr, p.tri_attr)
@@ -1487,8 +1595,11 @@ def _render_frame_mega_ts(
         jnp.where(row_valid[:, None], untile(segs), 0), dtype=jnp.uint32
     )
     if collect_stats:
+        # full hist_rows returned: rows [0, max_bounce] are the bounce
+        # histogram; the TOP rows carry cull diagnostics when spare (see
+        # count_visits in the kernel). render.py slices the public part.
         counts = jnp.sum(
             hist.reshape(n_tiles, hist_rows, LANES), axis=(0, 2)
-        )[: cfg.max_bounce + 1]
+        )
         return img, segs_total, counts
     return img, segs_total

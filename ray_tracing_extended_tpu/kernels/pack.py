@@ -35,7 +35,10 @@ CLUSTER = 128
 
 # Megakernel sub-cluster size: pair blocks are (SUB, 128 rays) with
 # primitives on sublanes, so finer culling costs proportionally less.
-SUB = 32
+# RTX_MEGA_SUB overrides for perf experiments (import-time constant).
+import os as _os
+
+SUB = int(_os.environ.get("RTX_MEGA_SUB", "32"))
 
 # Sub-clusters per super-cluster: one slab test gates a whole block of 32
 # Morton-contiguous sub-clusters (the megakernel's hierarchical cull).
@@ -72,6 +75,8 @@ FETCH_ROWS = 40
         "fetch_mode",
         "n_sphere_supers",
         "n_tri_supers",
+        "n_sphere_subs_visit",
+        "n_hoist",
     )
 )
 class PackedScene:
@@ -126,6 +131,12 @@ class PackedScene:
     # and zero columns.
     sph_super_bounds: jnp.ndarray  # (ceil(NSs/32), 8) f32
     tri_super_bounds: jnp.ndarray  # (ceil(NSt,1)/32), 8) f32
+    # hoisted oversized spheres (see _hoist_candidates): tested full-tile
+    # from these SMEM params, excluded from the sub-cluster visit loop
+    # (subs [n_sphere_subs_visit, n_sphere_subs) hold them)
+    hoist_params: jnp.ndarray  # (max(1, n_hoist) * 8,) f32
+    n_hoist: int
+    n_sphere_subs_visit: int
     n_sphere_clusters: int
     n_tri_clusters: int
     n_sphere_subs: int
@@ -149,17 +160,83 @@ def _morton_order(centroids: np.ndarray) -> np.ndarray:
     return np.argsort(_morton3(q), kind="stable").astype(np.int32)
 
 
+def _hoist_candidates(centers, radii, real_s) -> list:
+    """Spheres so large their sub-cluster AABB can never cull (the RTIOW
+    r=1000 ground: its box contains the whole scene, so its sub is visited
+    by every tile every slot AND poisons its cluster's bounds). Hoisted
+    spheres are tested ONCE per slot as a full-tile elementwise quadratic
+    (~1/12 the cost of a sub-cluster visit) BEFORE the cluster loop, so
+    their hit tightens best_t for every subsequent slab test.
+
+    (An earlier attempt isolated such spheres into their own sub-cluster
+    instead: 15% SLOWER - a lone sphere still pays a full 32-slot pair
+    block per visit. The hoist sidesteps clusters entirely.)
+
+    Criterion: radius exceeds the largest extent of the union AABB of all
+    OTHER real spheres - i.e. the sphere dwarfs the rest of the scene."""
+    if len(real_s) <= 2:
+        return []
+    chosen: list = []
+    by_r = real_s[np.argsort(-radii[real_s], kind="stable")]
+    for k in by_r[:4]:
+        others = np.array([i for i in by_r if i != k and i not in chosen])
+        if len(others) == 0:
+            break
+        omin = (centers[others] - radii[others, None]).min(axis=0)
+        omax = (centers[others] + radii[others, None]).max(axis=0)
+        if radii[k] > float((omax - omin).max()):
+            chosen.append(int(k))
+    return chosen
+
+
 def pack_scene(scene: Scene) -> PackedScene:
     centers = np.asarray(scene.spheres.center)
     radii = np.asarray(scene.spheres.radius)
     real_s = np.nonzero(radii > 0)[0]
 
-    if len(real_s):
-        # NOTE (measured, round 2): isolating oversized spheres (the RTIOW
-        # r=1000 ground) into their own sub-cluster LOSES ~15%: a lone
-        # sphere still costs a full 32-slot block of pair tests on every
-        # visit (31 dead padding lanes), plus extra sub-clusters. The
-        # poisoned-AABB downside it was meant to fix is smaller than that.
+    hoist = _hoist_candidates(centers, radii, real_s)
+    if hoist:
+        reg = np.array(
+            [i for i in real_s if i not in set(hoist)], dtype=np.int64
+        )
+        s_pad_reg = -(-len(reg) // CLUSTER) * CLUSTER
+        # hoisting must keep the sphere subs in ONE super-cluster: the
+        # kernel's flat sub loop (no super gating) is the only visit path
+        # that can skip the trailing hoisted sub block
+        if (s_pad_reg + CLUSTER) // SUB > SUPER:
+            hoist, reg = [], None
+
+    if hoist:
+        # layout: [Morton-ordered regular | pad][hoisted | pad] - the
+        # hoisted block is a full trailing CLUSTER so every downstream
+        # table builder (bounds, sub-cols, attr, fetch) is unchanged; the
+        # megakernel's visit loop stops at n_sphere_subs_visit and tests
+        # hoisted spheres from SMEM params instead
+        order = reg[_morton_order(centers[reg])]
+        s_pad = s_pad_reg + CLUSTER
+        c = np.zeros((s_pad, 3), np.float32)
+        r = np.full((s_pad,), -1.0, np.float32)
+        perm = np.full((s_pad,), hoist[-1], np.int32)
+        c[: len(order)] = centers[order]
+        c[len(order): s_pad_reg] = centers[order[-1]]
+        r[: len(order)] = radii[order]
+        perm[: len(order)] = order
+        c[s_pad_reg:] = centers[hoist[-1]]
+        for j, k in enumerate(hoist):
+            c[s_pad_reg + j] = centers[k]
+            r[s_pad_reg + j] = radii[k]
+            perm[s_pad_reg + j] = k
+        n_hoist = len(hoist)
+        nss_visit = s_pad_reg // SUB
+        hoist_params = np.zeros((n_hoist * 8,), np.float32)
+        for j, k in enumerate(hoist):
+            slot = s_pad_reg + j
+            hoist_params[j * 8 : j * 8 + 6] = [
+                centers[k][0], centers[k][1], centers[k][2],
+                radii[k] * radii[k],
+                float((slot // SUB) * SUB), float(slot % SUB),
+            ]
+    elif len(real_s):
         order = real_s[_morton_order(centers[real_s])]
         s_pad = -(-len(order) // CLUSTER) * CLUSTER
         c = np.zeros((s_pad, 3), np.float32)
@@ -169,11 +246,13 @@ def pack_scene(scene: Scene) -> PackedScene:
         c[len(order):] = centers[order[-1]]
         r[: len(order)] = radii[order]
         perm[: len(order)] = order
+        n_hoist, nss_visit, hoist_params = 0, None, np.zeros(8, np.float32)
     else:
         s_pad = CLUSTER
         c = np.zeros((s_pad, 3), np.float32)
         r = np.full((s_pad,), -1.0, np.float32)
         perm = np.zeros((s_pad,), np.int32)
+        n_hoist, nss_visit, hoist_params = 0, None, np.zeros(8, np.float32)
     ncs = s_pad // CLUSTER
     sph_bounds = np.zeros((ncs, 8), np.float32)
     for k in range(ncs):
@@ -543,6 +622,11 @@ def pack_scene(scene: Scene) -> PackedScene:
         tri_attr=jnp.asarray(tri_attr),
         attr_fields=tuple(wfields),
         fetch_mode=fetch_mode,
+        hoist_params=jnp.asarray(hoist_params),
+        n_hoist=int(n_hoist),
+        n_sphere_subs_visit=int(
+            nss_visit if nss_visit is not None else nss
+        ),
         n_sphere_clusters=int(ncs),
         n_tri_clusters=int(nct),
         n_sphere_subs=int(nss),

@@ -174,7 +174,7 @@ def render_frame_mega_sharded(
     """
     from ..kernels.megakernel import render_frame_mega, tile_size
 
-    TS = tile_size(scene.packed)
+    TS = tile_size(scene.packed, cfg.adaptive_spp)
 
     # CPU (tests / virtual meshes) requires Pallas interpret mode
     interpret = mesh.devices.flat[0].platform != "tpu"

@@ -169,9 +169,15 @@ def render_frame_with_stats(
     if _use_megakernel(scene, cfg):
         from .kernels.megakernel import render_frame_mega
 
-        return render_frame_mega(
+        out = render_frame_mega(
             scene, camera, cfg, frame, collect_stats=bounce_stats
         )
+        if bounce_stats:
+            # megakernel hist rows beyond the bounce histogram carry cull
+            # diagnostics (kernels/megakernel.py count_visits)
+            img, segs, counts = out
+            return img, segs, counts[: cfg.max_bounce + 1]
+        return out
 
     blocks = jnp.asarray(_padded_pixel_blocks(cfg))
     intersect_fn = _resolve_intersector(scene, cfg)

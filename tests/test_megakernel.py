@@ -67,7 +67,10 @@ def test_mega_bounce_stats():
     img, segs, counts = render_frame_mega(
         scene, cam, cfg, jnp.uint32(0), interpret=True, collect_stats=True
     )
-    counts = np.asarray(counts)
+    # the launcher returns the FULL hist block (top rows carry cull
+    # diagnostics); rows [0, max_bounce] are the public bounce histogram
+    # (render_frame_with_stats slices them)
+    counts = np.asarray(counts)[: cfg.max_bounce + 1]
     assert counts.shape == (cfg.max_bounce + 1,)
     assert counts[0] >= 64 * 32 * 2  # every path alive at bounce 0
     assert all(counts[i] >= counts[i + 1] for i in range(len(counts) - 1))
@@ -83,6 +86,28 @@ def test_mega_segment_count_sane():
     n_paths = 64 * 32 * 2
     # every path traces at least 1 and at most max_bounce+1 segments
     assert n_paths <= int(segs) <= n_paths * (cfg.max_bounce + 1)
+
+
+def test_mega_adaptive_spp_refill():
+    """cfg.adaptive_spp: lanes past their quota trace extra samples while
+    tile-mates are below it; output is the per-pixel mean over >= spp
+    completed samples. Unbiased - the refilled render must agree with the
+    fixed-spp one within MC noise, with strictly more segments traced."""
+    import dataclasses
+
+    scene, cam, cfg = three_sphere_scene(width=64, height=32, spp=4)
+    a, segs_a = render_frame_mega(scene, cam, cfg, jnp.uint32(0),
+                                  interpret=True)
+    cfg_ad = dataclasses.replace(cfg, adaptive_spp=True)
+    b, segs_b = render_frame_mega(scene, cam, cfg_ad, jnp.uint32(0),
+                                  interpret=True)
+    a, b = np.asarray(a), np.asarray(b)
+    assert not np.isnan(b).any()
+    assert int(segs_b) > int(segs_a)  # refill traced extra real work
+    # same estimator mean: refilled pixels average more samples of the
+    # same per-pixel RNG stream; agreement is MC-level, not bit-level
+    assert np.abs(a - b).mean() < 0.05
+    assert np.abs(a.mean() - b.mean()) < 0.01
 
 
 def test_mega_tile_size_invariant(monkeypatch):
