@@ -154,6 +154,18 @@ def _rand_unit3(state):
     return state, x * inv, y * inv, z * inv
 
 
+def _rand_unit3_fast(state):
+    """Uniform unit vector via (z, phi) area-preserving mapping: 2 draws
+    and 3 transcendentals vs the reference's three Box-Muller Gaussians
+    (6 draws, ~9). Identical distribution (cfg.fast_scatter doc)."""
+    state, u = _rand(state)
+    state, v = _rand(state)
+    z = u * 2.0 - 1.0
+    phi = v * np.float32(2.0 * 3.14159265)
+    s = jnp.sqrt(jnp.maximum(1.0 - z * z, 0.0))
+    return state, s * jnp.cos(phi), s * jnp.sin(phi), z
+
+
 def _rand_circle(state):
     state, r1 = _rand(state)
     ang = r1 * np.float32(2.0 * 3.1415)
@@ -241,6 +253,7 @@ def _render_kernel(
     features: tuple = (),
     hist_rows: int = 8,
     adaptive: bool = False,
+    fast_scatter: bool = False,
     collect_stats: bool = False,
     use_cull: bool = True,
     stub_fetch: bool = False,
@@ -375,6 +388,16 @@ def _render_kernel(
         best_enc_ref[...] = zero_f + _INF
         best_clu_ref[...] = zero_f
         sub_iota_i = lax.broadcasted_iota(jnp.int32, (SUB, LANES), 0)
+        # Wide encode (small scenes): the CLUSTER index rides bits 5-10 of
+        # the t encode - (bits(t) & ~2047) | (cluster << 5) | sub - so the
+        # fold needs no separate best-cluster array: per block it is ONE
+        # f32 min instead of min + compare + masked cluster write. Costs
+        # 11 mantissa bits of t in the fold key (<= 2^-12 relative,
+        # conservative for the slab culls; exact t is re-derived from the
+        # winner's fetched parameters as before). Only for the one-hot
+        # fetch path: winner mode reads best_clu_ref.
+        wide = (nss + nst) <= 64 and fetch_mode == "onehot"
+        _WIDEN = np.int32(~2047)
 
         # Hoisted oversized spheres (the RTIOW ground): one full-tile
         # elementwise quadratic per sphere from SMEM params - their
@@ -393,10 +416,26 @@ def _render_kernel(
             hocx, hocy, hocz = ox - hx, oy - hy, oz - hz
             hb = hocx * dx + hocy * dy + hocz * dz
             hcc = hocx * hocx + hocy * hocy + hocz * hocz - hr2
-            hdisc = hb * hb - hcc
-            htq = -hb - jnp.sqrt(jnp.maximum(hdisc, 0.0))
+            # sqrt(neg) = NaN and NaN >= 0 is False (see sphere_cluster)
+            htq = -hb - jnp.sqrt(hb * hb - hcc)
+            if wide:
+                cidx = (
+                    hp_ref[k * 8 + 4] * np.float32(1.0 / SUB)
+                ).astype(jnp.int32)
+                enc = jnp.where(
+                    htq >= 0.0,
+                    pltpu.bitcast(
+                        (pltpu.bitcast(htq, jnp.int32) & _WIDEN)
+                        | (cidx << 5)
+                        | sub_k,
+                        jnp.float32,
+                    ),
+                    _INF,
+                )
+                best_enc_ref[...] = jnp.minimum(enc, best_enc_ref[...])
+                continue
             enc = jnp.where(
-                (hdisc >= 0.0) & (htq >= 0.0),
+                htq >= 0.0,
                 pltpu.bitcast(
                     (pltpu.bitcast(htq, jnp.int32) & _SUBMN)
                     | sub_k,
@@ -434,14 +473,31 @@ def _render_kernel(
             )
             return (tf >= 0.0) & (tn <= jnp.minimum(tf, best_t))
 
-        def fold_pair(g, valid, tq, clu_f):
+        def fold_pair(g, valid, tq, clu_f, ci):
             """Fold a cluster's (SUB, 128) candidate block into row g's
             running best: a single f32 min on the bit-encode
             (bits(t) & ~31) | sub - ordering-equivalent to the i32 min
             for these never-NaN patterns - replaces a min + an argmin +
-            a two-field fold (measured ~5% of the frame). The winning
-            cluster's slot base (a broadcast scalar) rides along under
-            the same strict-< mask."""
+            a two-field fold (measured ~5% of the frame). In wide mode
+            the cluster index (``ci``, i32 scalar) is part of the encode;
+            otherwise the winning cluster's slot base (broadcast scalar
+            ``clu_f``) rides along under a strict-< mask."""
+            if wide:
+                enc = jnp.where(
+                    valid,
+                    pltpu.bitcast(
+                        (pltpu.bitcast(tq, jnp.int32) & _WIDEN)
+                        | (ci << 5)
+                        | sub_iota_i,
+                        jnp.float32,
+                    ),
+                    _INF,
+                )
+                enc_min = jnp.min(enc, axis=0, keepdims=True)
+                best_enc_ref[g : g + 1, :] = jnp.minimum(
+                    enc_min, best_enc_ref[g : g + 1, :]
+                )
+                return
             enc = jnp.where(
                 valid,
                 pltpu.bitcast(
@@ -504,10 +560,12 @@ def _render_kernel(
                         + ocz * dz[g : g + 1, :]
                     )
                     cc = ocx * ocx + ocy * ocy + ocz * ocz - r2c
-                    disc = b * b - cc
-                    tq = -b - jnp.sqrt(jnp.maximum(disc, 0.0))
-                    valid = (disc >= 0.0) & (tq >= 0.0)
-                    fold_pair(g, valid, tq, clu_f)
+                    # no-root (disc < 0) flows through as sqrt(neg) = NaN,
+                    # and NaN >= 0 is False - one compare covers both the
+                    # discriminant and the behind-ray test (saves the
+                    # max(), the second compare and the AND per block)
+                    tq = -b - jnp.sqrt(b * b - cc)
+                    fold_pair(g, tq >= 0.0, tq, clu_f, c)
 
                 visit_rows(row_visit, mask)
 
@@ -585,7 +643,7 @@ def _render_kernel(
                     )
                     hit = (det >= _DET_EPS) & (min4 >= 0.0)
                     tq = t_det / jnp.where(det >= _DET_EPS, det, 1.0)
-                    fold_pair(g, hit, tq, clu_f)
+                    fold_pair(g, hit, tq, clu_f, nss + c)
 
                 visit_rows(row_visit, mask)
 
@@ -619,6 +677,14 @@ def _render_kernel(
         # decode: t_approx is +inf on miss (isfinite = hit test);
         # code = winning cluster slot base + sub index (fetch key)
         t_approx = best_enc_ref[...]
+        if wide:
+            e = pltpu.bitcast(t_approx, jnp.int32)
+            code = (
+                ((e >> 5) & np.int32(63)) * np.int32(SUB) + (e & _SUBM)
+            ).astype(jnp.float32)
+            # misses decode to slot 0 (inf bits have zero cluster/sub
+            # fields); every consumer is masked by isfinite(t)
+            return t_approx, code
         sub = pltpu.bitcast(t_approx, jnp.int32) & _SUBM
         code = best_clu_ref[...] + sub.astype(jnp.float32)
         return t_approx, code
@@ -936,7 +1002,10 @@ def _render_kernel(
         # ---- scatter (RayTracing.shader:325-330) ----
         state2, u_spec = _rand(state)
         is_spec = (m_sprob >= u_spec).astype(jnp.float32)
-        state2, ux, uy, uz = _rand_unit3(state2)
+        if fast_scatter:
+            state2, ux, uy, uz = _rand_unit3_fast(state2)
+        else:
+            state2, ux, uy, uz = _rand_unit3(state2)
         ddx, ddy, ddz = _norm3(nx + ux, ny + uy, nz + uz)
         dn = dx * nx + dy * ny + dz * nz
         sxx = dx - 2.0 * dn * nx
@@ -1482,6 +1551,7 @@ def _render_frame_mega_ts(
         gb=gb,
         hist_rows=hist_rows,
         adaptive=cfg.adaptive_spp,
+        fast_scatter=cfg.fast_scatter,
         collect_stats=collect_stats,
         fetch_fields=p.fetch_fields,
         attr_fields=p.attr_fields,

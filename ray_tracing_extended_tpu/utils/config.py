@@ -43,6 +43,14 @@ class RenderConfig:
     # layout. Unbiased: a lane's refill count is set by the tile's
     # slowest lanes, not by its own sample values.
     adaptive_spp: bool = False
+    # Fast scatter sampler (megakernel only): Marsaglia-style uniform unit
+    # vector (2 PCG draws, sqrt+sin+cos) instead of the reference's three
+    # Box-Muller Gaussians (6 draws, ~9 transcendentals;
+    # RayTracing.shader:216-223). The DISTRIBUTION is identical (uniform
+    # sphere -> same cosine-weighted scatter), so renders converge to the
+    # same image; individual samples differ because the draw sequence
+    # changes. Off by default for draw-for-draw reference parity.
+    fast_scatter: bool = False
 
     def validate(self) -> "RenderConfig":
         """Clamp like OnValidate (RayTracingManager.cs:196-203) and check

@@ -110,6 +110,24 @@ def test_mega_adaptive_spp_refill():
     assert np.abs(a.mean() - b.mean()) < 0.01
 
 
+def test_mega_fast_scatter_distribution():
+    """cfg.fast_scatter swaps the unit-vector sampler for a 2-draw
+    area-preserving one; the scatter DISTRIBUTION is identical, so renders
+    must agree within MC noise (individual samples legitimately differ)."""
+    import dataclasses
+
+    scene, cam, cfg = three_sphere_scene(width=64, height=32, spp=8)
+    a, _ = render_frame_mega(scene, cam, cfg, jnp.uint32(0), interpret=True)
+    cfg_f = dataclasses.replace(cfg, fast_scatter=True)
+    b, _ = render_frame_mega(scene, cam, cfg_f, jnp.uint32(0),
+                             interpret=True)
+    a, b = np.asarray(a), np.asarray(b)
+    assert not np.isnan(b).any()
+    assert not np.array_equal(a, b)  # different draws...
+    assert np.abs(a - b).mean() < 0.05  # ...same estimator
+    assert np.abs(a.mean() - b.mean()) < 0.01
+
+
 def test_mega_tile_size_invariant(monkeypatch):
     """Per-pixel output is independent of the screen tiling: seeds are
     global pixel indices and each lane runs its own sample state machine,
