@@ -31,6 +31,10 @@ def _load_scene(spec: str, args):
         overrides["intersector"] = args.intersector
     if getattr(args, "hdr", False):
         overrides["clamp_accumulate"] = False
+    if getattr(args, "adaptive_spp", False):
+        overrides["adaptive_spp"] = True
+    if getattr(args, "fast_scatter", False):
+        overrides["fast_scatter"] = True
 
     if spec.startswith("preset:"):
         from .models import presets
@@ -154,6 +158,15 @@ def main(argv=None):
             "--intersector",
             choices=["auto", "bruteforce", "bvh", "pallas", "mega"],
         )
+        sp.add_argument(
+            "--adaptive-spp", dest="adaptive_spp", action="store_true",
+            help="sample refill: pixels whose tile-mates are still "
+                 "tracing get extra samples (>= spp each, per-pixel "
+                 "mean; ~1.5x sampling throughput on the megakernel)")
+        sp.add_argument(
+            "--fast-scatter", dest="fast_scatter", action="store_true",
+            help="2-draw unit-vector sampler (distribution-identical, "
+                 "breaks draw-for-draw reference parity)")
         sp.add_argument("--hdr", action="store_true",
                         help="unclamped accumulation (reference clamps)")
 

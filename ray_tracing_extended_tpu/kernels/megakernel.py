@@ -642,7 +642,10 @@ def _render_kernel(
                         jnp.minimum(v_det, w_det),
                     )
                     hit = (det >= _DET_EPS) & (min4 >= 0.0)
-                    tq = t_det / jnp.where(det >= _DET_EPS, det, 1.0)
+                    # unguarded divide: det ~ 0 lanes produce inf/NaN in
+                    # tq, but ``hit`` is false there and fold_pair's
+                    # where() discards the encode - saves the select
+                    tq = t_det / det
                     fold_pair(g, hit, tq, clu_f, nss + c)
 
                 visit_rows(row_visit, mask)

@@ -159,6 +159,8 @@ def load_json_scene(path, overrides: dict | None = None):
         spp=int(settings.get("numRaysPerPixel", 2)),
         width=int(settings.get("width", 1280)),
         height=int(settings.get("height", 720)),
+        adaptive_spp=bool(settings.get("adaptiveSpp", False)),
+        fast_scatter=bool(settings.get("fastScatter", False)),
     )
     if overrides:
         import dataclasses

@@ -51,8 +51,9 @@ def test_mega_high_bounce():
     maxBounce=30, Balls Outdoors.unity:488): the persistent-lane scheduler
     runs a flat slot loop whose static bound scales with spp*(bounce+1) but
     whose compile size does not. Verified on hardware at the shipped
-    30/30 settings (124 ms @ 720p, 388 Mrays/s); this test keeps the
-    scheduling path honest at depth 12 against the XLA reference."""
+    30/30 settings (79.8 ms @ 720p, 602 Mrays/s - the ground-sphere
+    hoist un-poisons the scene's single sub-cluster, round 2); this test
+    keeps the scheduling path honest at depth 12 vs the XLA reference."""
     import dataclasses
 
     scene, cam, cfg = three_sphere_scene(width=64, height=32, spp=2)
