@@ -156,7 +156,7 @@ def main(argv=None):
         sp.add_argument("--max-bounce", dest="max_bounce", type=int)
         sp.add_argument(
             "--intersector",
-            choices=["auto", "bruteforce", "bvh", "pallas", "mega"],
+            choices=["auto", "bruteforce", "bvh", "mega"],
         )
         sp.add_argument(
             "--adaptive-spp", dest="adaptive_spp", action="store_true",

@@ -1,26 +1,25 @@
-"""Scene packing for the Pallas kernels (wavefront closest-hit and the
-fused megakernel).
+"""Scene packing for the fused Pallas megakernel.
 
-Layouts are driven by the kernels' compute shapes: every (ray x primitive)
+Layouts are driven by the kernel's compute shapes: every (ray x primitive)
 quantity is a dense lane-aligned VPU tile and primitive parameters are
 loaded as whole vector rows/columns - zero scalar loads in the hot loops.
 
-  * primitives are Morton-sorted by centroid and grouped into clusters of
-    128 (spatially tight thanks to the Morton order);
-  * per cluster: one AABB for the tile-level cull (the per-tile lift of the
-    reference's per-chunk AABB gate, RayTracing.shader:279-281) + transposed
-    parameter rows;
-  * spheres store |c|^2 - r^2 per lane so the kernel's quadratic needs only
-    the two MXU dot products (d.c and o.c) plus a short elementwise tail;
-  * triangles store the Moller-Trumbore constant vectors (n, cross(eAC, A),
-    cross(eAB, A), edges, dot(n, A)) so every per-pair quantity is linear in
-    the per-ray features [o, d, cross(o, d)] - 6 skinny MXU matmuls per
-    cluster;
-  * permutation arrays map sorted slot -> original primitive index for the
-    XLA epilogue (normals/materials reuse the scene arrays).
+  * primitives are Morton-sorted by centroid into SUB-sized sub-clusters
+    under SUPER-sized super-clusters, each carrying one AABB - the
+    two-level per-tile lift of the reference's per-chunk AABB gate
+    (RayTracing.shader:279-281);
+  * per sub-cluster column tables hold the pair-test constants (sphere
+    center/r^2; triangle pos_a/edges/geometric normal) as (SUB, C) blocks
+    broadcast against 128-ray rows;
+  * material/geometry fetch tables come in two forms selected by slot
+    count: a transposed (rows, n_slots) operand for the one-hot MXU fetch
+    (small scenes) and per-sub attr tables for the winner post-pass fetch
+    (big scenes) - see kernels/megakernel.py;
+  * oversized spheres are hoisted to SMEM parameters (_hoist_candidates).
 
-Padding slots: spheres get radius -1 (rejected by the r > 0 test) at the
-last real center; triangles get all-zero rows (det = 0 < 1e-6 never hits).
+Padding slots: spheres pack r^2 = -1e30 (the quadratic discriminant goes
+negative, no branch needed); triangles get all-zero rows (det = 0 < 1e-6
+never hits).
 """
 
 from __future__ import annotations
@@ -65,8 +64,6 @@ FETCH_ROWS = 40
 
 @pytree_dataclass(
     meta_fields=(
-        "n_sphere_clusters",
-        "n_tri_clusters",
         "n_sphere_subs",
         "n_tri_subs",
         "features",
@@ -82,21 +79,6 @@ FETCH_ROWS = 40
 class PackedScene:
     """Device tables for the Pallas intersector (all f32 unless noted)."""
 
-    # spheres
-    sph_bounds: jnp.ndarray  # (NCs, 8): cluster bmin3, bmax3, pad2
-    sph_c: jnp.ndarray  # (NCs, 3, 128): centers, transposed per cluster
-    sph_ccr: jnp.ndarray  # (NCs, 128): |c|^2 - r^2
-    sph_r: jnp.ndarray  # (NCs, 128): radius (<=0 for padding)
-    sphere_perm: jnp.ndarray  # (NCs * 128,) int32 slot -> original index
-    # triangles
-    tri_bounds: jnp.ndarray  # (NCt, 8)
-    tri_n: jnp.ndarray  # (NCt, 3, 128): geometric normal n
-    tri_ndota: jnp.ndarray  # (NCt, 128): dot(n, A)
-    tri_eab: jnp.ndarray  # (NCt, 3, 128)
-    tri_eac: jnp.ndarray  # (NCt, 3, 128)
-    tri_ceaca: jnp.ndarray  # (NCt, 3, 128): cross(eAC, A)
-    tri_ceaba: jnp.ndarray  # (NCt, 3, 128): cross(eAB, A)
-    tri_perm: jnp.ndarray  # (NCt * 128,) int32
     # --- megakernel tables (sub-cluster = SUB primitives on sublanes) ---
     sph_sub_bounds: jnp.ndarray  # (NSs, 8) f32
     sph_sub_cols: jnp.ndarray  # (NSs, SUB, 8): cx, cy, cz, r, r^2, pad3
@@ -137,8 +119,6 @@ class PackedScene:
     hoist_params: jnp.ndarray  # (max(1, n_hoist) * 8,) f32
     n_hoist: int
     n_sphere_subs_visit: int
-    n_sphere_clusters: int
-    n_tri_clusters: int
     n_sphere_subs: int
     n_tri_subs: int
     n_sphere_supers: int
@@ -253,21 +233,6 @@ def pack_scene(scene: Scene) -> PackedScene:
         r = np.full((s_pad,), -1.0, np.float32)
         perm = np.zeros((s_pad,), np.int32)
         n_hoist, nss_visit, hoist_params = 0, None, np.zeros(8, np.float32)
-    ncs = s_pad // CLUSTER
-    sph_bounds = np.zeros((ncs, 8), np.float32)
-    for k in range(ncs):
-        cs = c[k * CLUSTER : (k + 1) * CLUSTER]
-        rs = r[k * CLUSTER : (k + 1) * CLUSTER]
-        live = rs > 0
-        if live.any():
-            rr = rs[live][:, None]
-            sph_bounds[k, :3] = (cs[live] - rr).min(axis=0)
-            sph_bounds[k, 3:6] = (cs[live] + rr).max(axis=0)
-        # else: zero box at origin; its spheres all have r <= 0
-    sph_c = c.reshape(ncs, CLUSTER, 3).transpose(0, 2, 1).copy()
-    sph_ccr = ((c * c).sum(axis=1) - r * r).reshape(ncs, CLUSTER)
-    sph_r = r.reshape(ncs, CLUSTER)
-
     pa = np.asarray(scene.triangles.pos_a)
     eab = np.asarray(scene.triangles.edge_ab)
     eac = np.asarray(scene.triangles.edge_ac)
@@ -295,25 +260,6 @@ def pack_scene(scene: Scene) -> PackedScene:
         teac = np.zeros((t_pad, 3), np.float32)
         tn = np.zeros((t_pad, 3), np.float32)
         tperm = np.zeros((t_pad,), np.int32)
-    nct = t_pad // CLUSTER
-    tri_bounds = np.zeros((nct, 8), np.float32)
-    for k in range(nct):
-        sl = slice(k * CLUSTER, (k + 1) * CLUSTER)
-        live = (tn[sl] ** 2).sum(axis=1) > 0
-        if live.any():
-            verts = np.concatenate(
-                [
-                    tpa[sl][live],
-                    tpa[sl][live] + teab[sl][live],
-                    tpa[sl][live] + teac[sl][live],
-                ]
-            )
-            tri_bounds[k, :3] = verts.min(axis=0)
-            tri_bounds[k, 3:6] = verts.max(axis=0)
-
-    def t3(a):
-        return a.reshape(nct, CLUSTER, 3).transpose(0, 2, 1).copy()
-
     # ---- megakernel sub-cluster tables (same Morton order, finer grain) --
     nss = s_pad // SUB
     sph_sub_cols = np.zeros((nss, SUB, 8), np.float32)
@@ -598,19 +544,6 @@ def pack_scene(scene: Scene) -> PackedScene:
     )
 
     return PackedScene(
-        sph_bounds=jnp.asarray(sph_bounds),
-        sph_c=jnp.asarray(sph_c),
-        sph_ccr=jnp.asarray(sph_ccr),
-        sph_r=jnp.asarray(sph_r),
-        sphere_perm=jnp.asarray(perm),
-        tri_bounds=jnp.asarray(tri_bounds),
-        tri_n=jnp.asarray(t3(tn)),
-        tri_ndota=jnp.asarray((tn * tpa).sum(axis=1).reshape(nct, CLUSTER)),
-        tri_eab=jnp.asarray(t3(teab)),
-        tri_eac=jnp.asarray(t3(teac)),
-        tri_ceaca=jnp.asarray(t3(np.cross(teac, tpa))),
-        tri_ceaba=jnp.asarray(t3(np.cross(teab, tpa))),
-        tri_perm=jnp.asarray(tperm),
         sph_sub_bounds=jnp.asarray(sph_sub_bounds),
         sph_sub_cols=jnp.asarray(sph_sub_cols),
         tri_sub_bounds=jnp.asarray(tri_sub_bounds),
@@ -627,8 +560,6 @@ def pack_scene(scene: Scene) -> PackedScene:
         n_sphere_subs_visit=int(
             nss_visit if nss_visit is not None else nss
         ),
-        n_sphere_clusters=int(ncs),
-        n_tri_clusters=int(nct),
         n_sphere_subs=int(nss),
         n_tri_subs=int(nst) if len(real_t) else 0,
         n_sphere_supers=int(sph_super_bounds.shape[0]),

@@ -47,10 +47,6 @@ def _resolve_intersector(
         from .accel.bvh import closest_hit_bvh
 
         return closest_hit_bvh
-    if cfg.intersector == "pallas":
-        from .kernels.wavefront import closest_hit_pallas
-
-        return closest_hit_pallas
     raise ValueError(f"unknown intersector {cfg.intersector!r}")
 
 
