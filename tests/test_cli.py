@@ -1,0 +1,59 @@
+"""CLI smoke tests: the render / compare entry points drive the whole
+public stack (scene loading, progressive accumulation, PNG export,
+cross-intersector comparison) end to end at tiny sizes on CPU."""
+
+import json
+
+import numpy as np
+
+from ray_tracing_extended_tpu.cli import main
+
+
+def test_cli_render_png_and_metrics(tmp_path):
+    out = tmp_path / "out.png"
+    metrics = tmp_path / "m.jsonl"
+    rc = main([
+        "render", "--scene", "preset:three_sphere",
+        "--width", "64", "--height", "36", "--spp", "1",
+        "--frames", "2", "--out", str(out), "--metrics", str(metrics),
+    ])
+    assert rc == 0
+    data = out.read_bytes()
+    assert data[:8] == b"\x89PNG\r\n\x1a\n"
+    lines = [json.loads(l) for l in metrics.read_text().splitlines()]
+    assert len(lines) == 2
+    assert lines[0]["mrays_per_s"] > 0
+    assert "alive_frac" in lines[0]
+    assert "accum_var" in lines[1]  # Welford variance needs n >= 2 frames
+
+
+def test_cli_render_checkpoint_resume(tmp_path):
+    ck = tmp_path / "ck.npz"
+    args = [
+        "render", "--scene", "preset:three_sphere",
+        "--width", "48", "--height", "32", "--spp", "1",
+        "--checkpoint", str(ck), "--checkpoint-every", "1",
+    ]
+    assert main(args + ["--frames", "2"]) == 0
+    assert ck.exists()
+    # resume continues the accumulation: --frames more ON TOP of the
+    # checkpointed 2 (progressive renders [start, start + frames))
+    assert main(args + ["--frames", "4", "--resume"]) == 0
+    saved = np.load(ck)
+    assert int(saved["frame"]) == 6
+
+
+def test_cli_compare_agrees():
+    rc = main([
+        "compare", "--scene", "preset:three_sphere",
+        "--width", "48", "--height", "32", "--spp", "2",
+        "--a", "bruteforce", "--b", "bruteforce",
+    ])
+    assert rc == 0
+
+
+def test_cli_unknown_preset_errors():
+    import pytest
+
+    with pytest.raises(SystemExit):
+        main(["render", "--scene", "preset:nope"])
