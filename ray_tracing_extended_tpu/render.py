@@ -165,8 +165,13 @@ def render_frame_with_stats(
     if _use_megakernel(scene, cfg):
         from .kernels.megakernel import render_frame_mega
 
+        # off-TPU (CPU tests, a user forcing intersector="mega") the
+        # Mosaic pipeline is unavailable; interpret mode keeps the same
+        # semantics at reduced speed
+        interpret = jax.devices()[0].platform != "tpu"
         out = render_frame_mega(
-            scene, camera, cfg, frame, collect_stats=bounce_stats
+            scene, camera, cfg, frame, interpret=interpret,
+            collect_stats=bounce_stats,
         )
         if bounce_stats:
             # megakernel hist rows beyond the bounce histogram carry cull
