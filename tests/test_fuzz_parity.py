@@ -1,0 +1,78 @@
+"""Randomized megakernel-vs-XLA parity: seeded random scenes sweep the
+packing edge cases (cluster counts straddling SUB boundaries, oversized-
+sphere hoisting, mixed sphere/triangle slots, emissive/specular spreads)
+that hand-written presets cannot cover. The XLA bounce loop is the
+semantic reference; the megakernel must agree except for its documented
+<=1-ulp RandomValue rounding (rare knife-edge path divergence)."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from ray_tracing_extended_tpu.kernels.megakernel import render_frame_mega
+from ray_tracing_extended_tpu.models.scene import Material, SceneBuilder
+from ray_tracing_extended_tpu.ops.camera import look_at
+from ray_tracing_extended_tpu.render import render_frame
+from ray_tracing_extended_tpu.utils.config import RenderConfig
+
+
+def _random_scene(seed: int, with_ground: bool, with_tris: bool):
+    rng = np.random.default_rng(seed)
+    b = SceneBuilder()
+    n = int(rng.integers(30, 70))  # straddles 1-3 SUB clusters
+    for _ in range(n):
+        pos = rng.uniform([-6, 0.2, -6], [6, 2.5, 6])
+        mat = Material(
+            colour=tuple(rng.uniform(0.05, 1.0, 3)),
+            emission_colour=tuple(rng.uniform(0, 1, 3)),
+            emission_strength=float(rng.choice([0.0, 0.0, 2.0])),
+            specular_colour=tuple(rng.uniform(0.5, 1.0, 3)),
+            smoothness=float(rng.uniform(0, 1)),
+            specular_probability=float(rng.uniform(0, 1)),
+        )
+        b.add_sphere(tuple(pos), float(rng.uniform(0.1, 0.6)), mat)
+    if with_ground:
+        # dwarfs the rest -> exercises the hoist path
+        b.add_sphere((0.0, -500.0, 0.0), 500.0,
+                     Material.lambertian((0.5, 0.5, 0.5)))
+    if with_tris:
+        a = rng.uniform([-5, 0, -5], [5, 3, 5], size=(40, 1, 3))
+        pos = np.concatenate(
+            [a, a + rng.uniform(-1, 1, (40, 1, 3)),
+             a + rng.uniform(-1, 1, (40, 1, 3))], axis=1
+        ).astype(np.float32)  # (40, 3 verts, 3)
+        e1 = pos[:, 1] - pos[:, 0]
+        e2 = pos[:, 2] - pos[:, 0]
+        n = np.cross(e1, e2)
+        n /= np.maximum(np.linalg.norm(n, axis=1, keepdims=True), 1e-8)
+        normals = np.repeat(n[:, None, :], 3, axis=1)
+        b.add_triangles(pos, normals, Material.lambertian(
+            tuple(rng.uniform(0.2, 1.0, 3))))
+    scene = b.build()
+    cam = look_at((0, 2.5, -10), (0, 1, 0), fov_y_deg=45)
+    cfg = RenderConfig(width=48, height=32, max_bounce=3, spp=1,
+                       clamp_accumulate=False)
+    return scene, cam, cfg
+
+
+def _check(seed, with_ground, with_tris):
+    scene, cam, cfg = _random_scene(seed, with_ground, with_tris)
+    a = np.asarray(render_frame(scene, cam, cfg, jnp.uint32(seed)))
+    m, segs = render_frame_mega(scene, cam, cfg, jnp.uint32(seed),
+                                interpret=True)
+    m = np.asarray(m)
+    assert not np.isnan(m).any()
+    assert int(segs) > 0
+    d = np.abs(a - m).max(axis=-1)
+    frac = (d < 1e-3).mean()
+    assert frac > 0.99, f"seed {seed}: only {frac:.3f} pixels tight"
+    assert np.abs(a - m).mean() < 2e-3
+
+
+def test_fuzz_spheres_with_hoisted_ground():
+    scene, _, _ = _random_scene(7, True, False)
+    assert scene.packed.n_hoist == 1  # the criterion must fire
+    _check(7, True, False)
+
+
+def test_fuzz_mixed_spheres_tris():
+    _check(11, False, True)
