@@ -86,6 +86,16 @@ import os as _os
 LANES = 128
 
 
+def n_phases() -> int:
+    """Slot phases for the megakernel scheduler: 1 = mixed slots, 2 =
+    coherence-split (fresh camera rays and scattered survivors trace in
+    alternating slots - see slot_body). RTX_MEGA_PHASES overrides."""
+    env = _os.environ.get("RTX_MEGA_PHASES")
+    if env:
+        return int(env)
+    return 1
+
+
 def tile_size(packed, adaptive: bool = False) -> int:
     env = _os.environ.get("RTX_MEGA_TS")
     if env:
@@ -254,6 +264,7 @@ def _render_kernel(
     hist_rows: int = 8,
     adaptive: bool = False,
     fast_scatter: bool = False,
+    phases: int = 1,
     collect_stats: bool = False,
     use_cull: bool = True,
     stub_fetch: bool = False,
@@ -885,7 +896,7 @@ def _render_kernel(
         return field
 
     def segment_body(state, ox, oy, oz, dx, dy, dz,
-                     inc_r, inc_g, inc_b, col_r, col_g, col_b, bc, live,
+                     inc_r, inc_g, inc_b, col_r, col_g, col_b, bc, part,
                      t, code):
         """Trace ONE path segment for every lane (Trace body,
         RayTracing.shader:300-352).
@@ -899,6 +910,14 @@ def _render_kernel(
         by the scheduler before this runs; finished lanes are PARKED at
         +1e9 pointing +x so they miss everything, fail every cull, and
         their env re-adds multiply zero throughput.
+
+        ``part`` masks the lanes tracing THIS slot (all work-holding lanes
+        normally; one coherence phase of them under phase-split
+        scheduling). Non-participating lanes - parked or waiting for
+        their phase - pass through unchanged: ``t`` is +inf for them (the
+        scheduler parks their intersect inputs), so ``hit`` is false, the
+        miss/env banking is masked by ``part``, and the state outputs
+        blend back their originals.
 
         Returns the post-segment state tuple plus ``died`` (lanes whose
         sample completed this segment - their inc must be banked).
@@ -1085,7 +1104,10 @@ def _render_kernel(
 
         # ---- miss: environment ----
         er, eg, eb = environment(dx, dy, dz)
-        missed = ~hit  # env re-adds on long-dead lanes multiply 0 colour
+        # non-participants are excluded: a phase-waiting LIVE lane must
+        # not bank an env term (parked lanes' env re-adds multiply zero
+        # colour anyway, but waiting lanes carry real throughput)
+        missed = (~hit) & part
 
         sc = scattering
         # The RNG state only advances on scattering lanes (matching the
@@ -1122,25 +1144,32 @@ def _render_kernel(
         # trick as the RNG state select above).
         pass_f = jnp.where(passthru, zero_f + 1.0, zero_f) * cc_f
         scs_f = jnp.where(scs, zero_f + 1.0, zero_f) * cc_f
+        part_f = jnp.where(part, zero_f + 1.0, zero_f)
         boost_r = cr2 * inv_p
         boost_g = cg2 * inv_p
         boost_b = cb2 * inv_p
-        col_r2 = col_r * pass_f + boost_r * scs_f
-        col_g2 = col_g * pass_f + boost_g * scs_f
-        col_b2 = col_b * pass_f + boost_b * scs_f
-        # arithmetic parking: lanes that died this bounce (neither
-        # passthrough nor scatter+survive) move to +1e9 heading +x
+        # waiting (non-participating) lanes keep their throughput; a
+        # participant keeps it only on passthrough
+        col_keep = pass_f + 1.0 - part_f
+        col_r2 = col_r * col_keep + boost_r * scs_f
+        col_g2 = col_g * col_keep + boost_g * scs_f
+        col_b2 = col_b * col_keep + boost_b * scs_f
+        # arithmetic parking: participating lanes that died this bounce
+        # (neither passthrough nor scatter+survive) move to +1e9 heading
+        # +x; non-participants keep their originals (ox2 == ox for them
+        # already - hit is false - so one keep-factor covers both)
         live_f = pass_f + scs_f  # 0.0 or 1.0, disjoint masks
-        dead_f = 1.0 - live_f
-        ox2 = ox2 * live_f + np.float32(1.0e9) * dead_f
-        oy2 = oy2 * live_f + np.float32(1.0e9) * dead_f
-        oz2 = oz2 * live_f + np.float32(1.0e9) * dead_f
-        dx2 = dx2 * live_f + dead_f
-        dy2 = dy2 * live_f
-        dz2 = dz2 * live_f + np.float32(1e-9) * dead_f
-        # A sample completed this segment iff its lane was live and did
+        dead_f = part_f - live_f  # died AND participated
+        keep_f = live_f + 1.0 - part_f
+        ox2 = ox2 * keep_f + np.float32(1.0e9) * dead_f
+        oy2 = oy2 * keep_f + np.float32(1.0e9) * dead_f
+        oz2 = oz2 * keep_f + np.float32(1.0e9) * dead_f
+        dx2 = dx2 * keep_f + dead_f
+        dy2 = dy2 * keep_f
+        dz2 = dz2 * keep_f + np.float32(1e-9) * dead_f
+        # A sample completed this segment iff its lane traced it and did
         # not continue; its accumulated light is banked by the scheduler.
-        died = live & ~((passthru | scs) & can_cont)
+        died = part & ~((passthru | scs) & can_cont)
         return (
             st_fix, ox2, oy2, oz2, dx2, dy2, dz2,
             inc_r3, inc_g3, inc_b3, col_r2, col_g2, col_b2, died,
@@ -1177,12 +1206,20 @@ def _render_kernel(
         jnp.int32, (hist_rows, LANES), 1
     ) * 0
 
-    def slot_body(_, carry):
+    def slot_body(slot_i, carry):
         col_r = s_cr_ref[...]
         col_g = s_cg_ref[...]
         col_b = s_cb_ref[...]
         live0 = (col_r > 0.0) | (col_g > 0.0) | (col_b > 0.0)
         ns = s_ns_ref[...]
+        # Phase-split scheduling (phases == 2): even slots trace ONLY
+        # freshly re-seeded camera rays (spatially coherent - few cluster
+        # visits), odd slots ONLY scattered survivors. Mixing them made
+        # every slot pay the divergent visit rate (~13/16 subs on the
+        # RTIOW headline) even though ~60% of segments are coherent
+        # bounce-0 rays. Waiting lanes pass through untouched (their
+        # intersect inputs are parked and all updates are part-masked).
+        is_primary = (slot_i % 2) == 0 if phases == 2 else True
 
         @pl.when(jnp.any(live0 | (ns < spp)))
         def _():
@@ -1199,6 +1236,10 @@ def _render_kernel(
                 need = (~live0) & ((ns < spp) | jnp.any(ns < spp))
             else:
                 need = (~live0) & (ns < spp)
+
+            if phases == 2:
+                # fresh lanes only trace (and re-seed) on primary slots
+                need = need & is_primary
 
             # ---- re-seed dead lanes with their next camera sample ----
             # (frag, RayTracing.shader:374-385: defocus origin jitter on
@@ -1242,9 +1283,17 @@ def _render_kernel(
                 s_cb_ref[...] = nf + s_cb_ref[...] * kf
                 s_bc_ref[...] = jnp.where(need, zero_i, s_bc_ref[...])
 
-            live = live0 | need
+            if phases == 2:
+                # participants: fresh lanes on primary slots, survivors on
+                # continuation slots. ``need`` is already masked to
+                # primary slots; compose with AND/OR - a vector<i1>
+                # arith.select (jnp.where on bool vectors) fails to
+                # legalize in Mosaic.
+                part = need | (live0 & jnp.logical_not(is_primary))
+            else:
+                part = live0 | need
             s_segs_ref[...] = s_segs_ref[...] + jnp.where(
-                live, zero_i + 1, zero_i
+                part, zero_i + 1, zero_i
             )
             if collect_stats:
                 # per-bounce live histogram (alive-fraction observability):
@@ -1253,7 +1302,7 @@ def _render_kernel(
                 # duplicates too - callers normalise by counts[0], which
                 # carries the same duplicates, so fractions are unbiased.
                 bc_now = s_bc_ref[...]
-                live_i = jnp.where(live, zero_i + 1, zero_i)
+                live_i = jnp.where(part, zero_i + 1, zero_i)
                 for b_i in range(max_bounce + 1):
                     out_hist_ref[b_i : b_i + 1, :] = out_hist_ref[
                         b_i : b_i + 1, :
@@ -1269,17 +1318,32 @@ def _render_kernel(
             dx = s_dx_ref[...]
             dy = s_dy_ref[...]
             dz = s_dz_ref[...]
+            if phases == 2:
+                # waiting lanes are parked FOR THE INTERSECT ONLY (t =
+                # +inf for them keeps segment_body's hit mask false);
+                # segment_body still sees their real state and blends it
+                # through unchanged
+                pf = jnp.where(part, zero_f + 1.0, zero_f)
+                qf = 1.0 - pf
+                iox = ox * pf + np.float32(1.0e9) * qf
+                ioy = oy * pf + np.float32(1.0e9) * qf
+                ioz = oz * pf + np.float32(1.0e9) * qf
+                idx = dx * pf + qf
+                idy = dy * pf
+                idz = dz * pf + np.float32(1e-9) * qf
+            else:
+                iox, ioy, ioz, idx, idy, idz = ox, oy, oz, dx, dy, dz
             if stub_intersect:
                 t, code = zero_f + 2.0, zero_f
             else:
-                t, code = intersect(ox, oy, oz, dx, dy, dz)
+                t, code = intersect(iox, ioy, ioz, idx, idy, idz)
                 if dup_intersect:
                     # profiling knob: run intersect a second time on inputs
                     # the compiler cannot prove equal, fold the result in a
                     # way that cannot change t (t2 + 1e30 >= any real t);
                     # frame-time delta vs the baseline = pure intersect cost
                     t2, _ = intersect(
-                        ox + np.float32(1e-30), oy, oz, dx, dy, dz
+                        iox + np.float32(1e-30), ioy, ioz, idx, idy, idz
                     )
                     t = jnp.minimum(t, t2 + np.float32(1e30))
             any_hit = jnp.any(jnp.isfinite(t))
@@ -1291,7 +1355,7 @@ def _render_kernel(
                     s_st_ref[...], ox, oy, oz, dx, dy, dz,
                     s_ir_ref[...], s_ig_ref[...], s_ib_ref[...],
                     s_cr_ref[...], s_cg_ref[...], s_cb_ref[...],
-                    s_bc_ref[...], live, t, code,
+                    s_bc_ref[...], part, t, code,
                 )
                 (st2, ox2, oy2, oz2, dx2, dy2, dz2,
                  inc_r, inc_g, inc_b, col_r2, col_g2, col_b2, died) = out
@@ -1306,7 +1370,7 @@ def _render_kernel(
                 s_cg_ref[...] = col_g2
                 s_cb_ref[...] = col_b2
                 s_bc_ref[...] = s_bc_ref[...] + jnp.where(
-                    live, zero_i + 1, zero_i
+                    part, zero_i + 1, zero_i
                 )
                 # bank completed samples' light; keep in-flight inc
                 df = jnp.where(died, zero_f + 1.0, zero_f)
@@ -1326,10 +1390,14 @@ def _render_kernel(
             @pl.when(jnp.logical_not(any_hit))
             def _():
                 er, eg, eb = environment(dx, dy, dz)
-                lf = jnp.where(live, zero_f + 1.0, zero_f)
-                inc_r = s_ir_ref[...] + er * s_cr_ref[...]
-                inc_g = s_ig_ref[...] + eg * s_cg_ref[...]
-                inc_b = s_ib_ref[...] + eb * s_cb_ref[...]
+                lf = jnp.where(part, zero_f + 1.0, zero_f)
+                # env term masked by participation: phase-waiting lanes
+                # carry live throughput and must NOT absorb sky light
+                # (the old unmasked form was safe only because every
+                # non-participant had zero colour)
+                inc_r = s_ir_ref[...] + er * s_cr_ref[...] * lf
+                inc_g = s_ig_ref[...] + eg * s_cg_ref[...] * lf
+                inc_b = s_ib_ref[...] + eb * s_cb_ref[...] * lf
                 s_tr_ref[...] = s_tr_ref[...] + inc_r * lf
                 s_tg_ref[...] = s_tg_ref[...] + inc_g * lf
                 s_tb_ref[...] = s_tb_ref[...] + inc_b * lf
@@ -1337,20 +1405,23 @@ def _render_kernel(
                 s_ir_ref[...] = inc_r * kf
                 s_ig_ref[...] = inc_g * kf
                 s_ib_ref[...] = inc_b * kf
-                s_ns_ref[...] = ns + jnp.where(live, zero_i + 1, zero_i)
-                s_cr_ref[...] = zero_f
-                s_cg_ref[...] = zero_f
-                s_cb_ref[...] = zero_f
-                s_ox_ref[...] = zero_f + np.float32(1.0e9)
-                s_oy_ref[...] = zero_f + np.float32(1.0e9)
-                s_oz_ref[...] = zero_f + np.float32(1.0e9)
-                s_dx_ref[...] = zero_f + 1.0
-                s_dy_ref[...] = zero_f
-                s_dz_ref[...] = zero_f + np.float32(1e-9)
+                s_ns_ref[...] = ns + jnp.where(part, zero_i + 1, zero_i)
+                # participants terminated on the environment: zero + park
+                # them; waiting lanes (phase-split) blend through
+                s_cr_ref[...] = s_cr_ref[...] * kf
+                s_cg_ref[...] = s_cg_ref[...] * kf
+                s_cb_ref[...] = s_cb_ref[...] * kf
+                s_ox_ref[...] = ox * kf + np.float32(1.0e9) * lf
+                s_oy_ref[...] = oy * kf + np.float32(1.0e9) * lf
+                s_oz_ref[...] = oz * kf + np.float32(1.0e9) * lf
+                s_dx_ref[...] = dx * kf + lf
+                s_dy_ref[...] = dy * kf
+                s_dz_ref[...] = dz * kf + np.float32(1e-9) * lf
 
         return carry
 
-    lax.fori_loop(0, spp * (max_bounce + 1), slot_body, jnp.int32(0))
+    lax.fori_loop(0, spp * (max_bounce + 1) * phases, slot_body,
+                  jnp.int32(0))
 
     if adaptive:
         # per-pixel mean over the samples that actually completed (>= spp;
@@ -1432,19 +1503,20 @@ def render_frame_mega(
     """
     return _render_frame_mega_ts(
         scene, camera, cfg, frame,
-        tile_size(scene.packed, cfg.adaptive_spp), interpret,
+        tile_size(scene.packed, cfg.adaptive_spp), n_phases(), interpret,
         use_cull, stub_fetch, stub_intersect, dup_intersect, dup_fetch,
         y0, band_height, collect_stats,
     )
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "ts", "interpret", "use_cull", "stub_fetch", "stub_intersect", "dup_intersect", "dup_fetch", "band_height", "collect_stats"))
+@functools.partial(jax.jit, static_argnames=("cfg", "ts", "phases", "interpret", "use_cull", "stub_fetch", "stub_intersect", "dup_intersect", "dup_fetch", "band_height", "collect_stats"))
 def _render_frame_mega_ts(
     scene: Scene,
     camera,
     cfg: RenderConfig,
     frame,
     ts: int,
+    phases: int = 1,
     interpret: bool = False,
     use_cull: bool = True,
     stub_fetch: bool = False,
@@ -1555,6 +1627,7 @@ def _render_frame_mega_ts(
         hist_rows=hist_rows,
         adaptive=cfg.adaptive_spp,
         fast_scatter=cfg.fast_scatter,
+        phases=phases,
         collect_stats=collect_stats,
         fetch_fields=p.fetch_fields,
         attr_fields=p.attr_fields,

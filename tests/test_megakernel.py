@@ -111,6 +111,24 @@ def test_mega_adaptive_spp_refill():
     assert np.abs(a.mean() - b.mean()) < 0.01
 
 
+def test_mega_phase_split_bit_identical(monkeypatch):
+    """RTX_MEGA_PHASES=2 (coherence-split slots: fresh camera rays and
+    scattered survivors trace in alternating slots) only re-orders WHEN
+    lanes trace - per-lane draw sequences and banking are untouched, so
+    parity-mode output must be bit-identical to the mixed scheduler."""
+    import os
+
+    scene, cam, cfg = three_sphere_scene(width=48, height=32, spp=2)
+    monkeypatch.setitem(os.environ, "RTX_MEGA_PHASES", "1")
+    a, sa = render_frame_mega(scene, cam, cfg, jnp.uint32(3),
+                              interpret=True)
+    monkeypatch.setitem(os.environ, "RTX_MEGA_PHASES", "2")
+    b, sb = render_frame_mega(scene, cam, cfg, jnp.uint32(3),
+                              interpret=True)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert int(sa) == int(sb)
+
+
 def test_mega_fast_scatter_distribution():
     """cfg.fast_scatter swaps the unit-vector sampler for a 2-draw
     area-preserving one; the scatter DISTRIBUTION is identical, so renders
