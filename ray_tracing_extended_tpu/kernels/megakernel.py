@@ -89,10 +89,25 @@ LANES = 128
 def n_phases() -> int:
     """Slot phases for the megakernel scheduler: 1 = mixed slots, 2 =
     coherence-split (fresh camera rays and scattered survivors trace in
-    alternating slots - see slot_body). RTX_MEGA_PHASES overrides."""
+    alternating slots - see slot_body; measured negative on the RTIOW
+    headline, ROADMAP.md). RTX_MEGA_PHASES overrides; values outside
+    {1, 2} are rejected rather than silently misbehaving (0 would make
+    the slot bound zero -> black frames).
+
+    NOTE (applies to RTX_MEGA_TS too): the knobs are resolved outside
+    render_frame_mega's OWN jit, but the public render_frame /
+    render_frame_with_stats wrappers are themselves jitted, so through
+    those entry points a knob change after the first trace hits their
+    cache. The perf tools and bench call render_frame_mega directly,
+    where the resolution is always fresh."""
     env = _os.environ.get("RTX_MEGA_PHASES")
     if env:
-        return int(env)
+        v = int(env)
+        if v not in (1, 2):
+            raise ValueError(
+                f"RTX_MEGA_PHASES must be 1 or 2, got {env!r}"
+            )
+        return v
     return 1
 
 
@@ -288,6 +303,21 @@ def _render_kernel(
     # from an iota pins a concrete layout.
     zero_i = lane * 0
     zero_f = lane.astype(jnp.float32) * 0.0
+
+    def park_blend(keep_f, park_f, ox, oy, oz, dx, dy, dz):
+        """Canonical park sentinel, one definition: lanes with park_f=1
+        move to origin +1e9 heading (1, 0, 1e-9) - they miss all
+        geometry and fail every cull; keep_f=1 lanes pass through.
+        (keep_f + park_f need not cover all lanes: both-zero lanes are
+        zeroed, used by segment_body's died-lane parking.)"""
+        return (
+            ox * keep_f + np.float32(1.0e9) * park_f,
+            oy * keep_f + np.float32(1.0e9) * park_f,
+            oz * keep_f + np.float32(1.0e9) * park_f,
+            dx * keep_f + park_f,
+            dy * keep_f,
+            dz * keep_f + np.float32(1e-9) * park_f,
+        )
     # Square-tile pixel mapping: pid -> (tile_x, tile_y); lane order is
     # row-major inside the TS x TS tile. Edge tiles clamp to the image and
     # re-render border pixels (cropped by the launcher).
@@ -1161,12 +1191,9 @@ def _render_kernel(
         live_f = pass_f + scs_f  # 0.0 or 1.0, disjoint masks
         dead_f = part_f - live_f  # died AND participated
         keep_f = live_f + 1.0 - part_f
-        ox2 = ox2 * keep_f + np.float32(1.0e9) * dead_f
-        oy2 = oy2 * keep_f + np.float32(1.0e9) * dead_f
-        oz2 = oz2 * keep_f + np.float32(1.0e9) * dead_f
-        dx2 = dx2 * keep_f + dead_f
-        dy2 = dy2 * keep_f
-        dz2 = dz2 * keep_f + np.float32(1e-9) * dead_f
+        ox2, oy2, oz2, dx2, dy2, dz2 = park_blend(
+            keep_f, dead_f, ox2, oy2, oz2, dx2, dy2, dz2
+        )
         # A sample completed this segment iff its lane traced it and did
         # not continue; its accumulated light is banked by the scheduler.
         died = part & ~((passthru | scs) & can_cont)
@@ -1324,13 +1351,9 @@ def _render_kernel(
                 # segment_body still sees their real state and blends it
                 # through unchanged
                 pf = jnp.where(part, zero_f + 1.0, zero_f)
-                qf = 1.0 - pf
-                iox = ox * pf + np.float32(1.0e9) * qf
-                ioy = oy * pf + np.float32(1.0e9) * qf
-                ioz = oz * pf + np.float32(1.0e9) * qf
-                idx = dx * pf + qf
-                idy = dy * pf
-                idz = dz * pf + np.float32(1e-9) * qf
+                iox, ioy, ioz, idx, idy, idz = park_blend(
+                    pf, 1.0 - pf, ox, oy, oz, dx, dy, dz
+                )
             else:
                 iox, ioy, ioz, idx, idy, idz = ox, oy, oz, dx, dy, dz
             if stub_intersect:
@@ -1411,12 +1434,10 @@ def _render_kernel(
                 s_cr_ref[...] = s_cr_ref[...] * kf
                 s_cg_ref[...] = s_cg_ref[...] * kf
                 s_cb_ref[...] = s_cb_ref[...] * kf
-                s_ox_ref[...] = ox * kf + np.float32(1.0e9) * lf
-                s_oy_ref[...] = oy * kf + np.float32(1.0e9) * lf
-                s_oz_ref[...] = oz * kf + np.float32(1.0e9) * lf
-                s_dx_ref[...] = dx * kf + lf
-                s_dy_ref[...] = dy * kf
-                s_dz_ref[...] = dz * kf + np.float32(1e-9) * lf
+                (s_ox_ref[...], s_oy_ref[...], s_oz_ref[...],
+                 s_dx_ref[...], s_dy_ref[...], s_dz_ref[...]) = park_blend(
+                    kf, lf, ox, oy, oz, dx, dy, dz
+                )
 
         return carry
 
@@ -1497,9 +1518,12 @@ def render_frame_mega(
     RNG layout with the XLA path (same seeds, same draw order); output
     differs only by <=1-ulp RandomValue rounding (module docstring).
 
-    Thin wrapper: resolves the tile size OUTSIDE jit (it reads the
-    RTX_MEGA_TS env override) and passes it as a static jit arg, so
-    changing the knob between calls cannot silently hit a stale cache.
+    Thin wrapper: resolves the tile-size / phase env knobs OUTSIDE this
+    function's jit and passes them as static args, so direct callers
+    (bench, perf tools) can change them between calls without hitting a
+    stale cache. The public render_frame* wrappers are themselves
+    jitted, so THROUGH THEM a knob change after the first trace does
+    not take effect (see n_phases docstring).
     """
     return _render_frame_mega_ts(
         scene, camera, cfg, frame,

@@ -54,8 +54,9 @@ def _random_scene(seed: int, with_ground: bool, with_tris: bool):
     return scene, cam, cfg
 
 
-def _check(seed, with_ground, with_tris):
-    scene, cam, cfg = _random_scene(seed, with_ground, with_tris)
+def _check(seed, with_ground, with_tris, prebuilt=None):
+    scene, cam, cfg = prebuilt or _random_scene(seed, with_ground,
+                                                with_tris)
     a = np.asarray(render_frame(scene, cam, cfg, jnp.uint32(seed)))
     m, segs = render_frame_mega(scene, cam, cfg, jnp.uint32(seed),
                                 interpret=True)
@@ -69,9 +70,9 @@ def _check(seed, with_ground, with_tris):
 
 
 def test_fuzz_spheres_with_hoisted_ground():
-    scene, _, _ = _random_scene(7, True, False)
-    assert scene.packed.n_hoist == 1  # the criterion must fire
-    _check(7, True, False)
+    built = _random_scene(7, True, False)
+    assert built[0].packed.n_hoist == 1  # the criterion must fire
+    _check(7, True, False, prebuilt=built)
 
 
 def test_fuzz_mixed_spheres_tris():
