@@ -33,8 +33,14 @@ def main():
         )
     elif name == "mesh":
         scene, cam, cfg = presets.mesh_scene()
+    elif name == "cornell":
+        scene, cam, cfg = presets.cornell_box_scene(
+            width=512, height=512, max_bounce=8, spp=16
+        )
     else:
-        scene, cam, cfg = presets.PRESETS[name]()
+        raise SystemExit(
+            f"unknown preset {name!r}; use rtiow, mesh or cornell"
+        )
 
     p = scene.packed
     ts = tile_size(p, cfg.adaptive_spp)
