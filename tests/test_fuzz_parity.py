@@ -77,3 +77,15 @@ def test_fuzz_spheres_with_hoisted_ground():
 
 def test_fuzz_mixed_spheres_tris():
     _check(11, False, True)
+
+
+def test_fuzz_winner_mode_hoist_tris(monkeypatch):
+    """The full combination: winner post-pass fetch (forced via the slot
+    threshold) x hoisted oversized sphere x mixed sphere/tri slots."""
+    from ray_tracing_extended_tpu.kernels import pack as pack_mod
+
+    monkeypatch.setattr(pack_mod, "ONEHOT_MAX_SLOTS", 0)
+    built = _random_scene(23, True, True)
+    assert built[0].packed.fetch_mode == "winner"
+    assert built[0].packed.n_hoist == 1
+    _check(23, True, True, prebuilt=built)
