@@ -160,15 +160,20 @@ class Environment:
 
     @staticmethod
     def disabled():
-        z3 = jnp.zeros(3, jnp.float32)
+        # host numpy leaves: the scene builder packs from the host env
+        # (a jnp scalar here would cost a device sync per float() read -
+        # ~3 s through the axon tunnel) and uploads once at build()
+        import numpy as _np
+
+        z3 = _np.zeros(3, _np.float32)
         return Environment(
-            enabled=jnp.float32(0.0),
+            enabled=_np.float32(0.0),
             ground_colour=z3,
             sky_colour_horizon=z3,
             sky_colour_zenith=z3,
-            sun_focus=jnp.float32(1.0),
-            sun_intensity=jnp.float32(0.0),
-            sun_dir=jnp.array([0.0, 1.0, 0.0], jnp.float32),
+            sun_focus=_np.float32(1.0),
+            sun_intensity=_np.float32(0.0),
+            sun_dir=_np.array([0.0, 1.0, 0.0], _np.float32),
         )
 
 

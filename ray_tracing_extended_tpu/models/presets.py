@@ -29,13 +29,13 @@ from .scene import Material, SceneBuilder
 def _gradient_sky(horizon=(1.0, 1.0, 1.0), zenith=(0.5, 0.7, 1.0)):
     """RTIOW-style blue gradient sky, no sun."""
     return Environment(
-        enabled=jnp.float32(1.0),
-        ground_colour=jnp.asarray(horizon, jnp.float32),
-        sky_colour_horizon=jnp.asarray(horizon, jnp.float32),
-        sky_colour_zenith=jnp.asarray(zenith, jnp.float32),
-        sun_focus=jnp.float32(1.0),
-        sun_intensity=jnp.float32(0.0),
-        sun_dir=jnp.asarray([0.0, 1.0, 0.0], jnp.float32),
+        enabled=np.float32(1.0),
+        ground_colour=np.asarray(horizon, np.float32),
+        sky_colour_horizon=np.asarray(horizon, np.float32),
+        sky_colour_zenith=np.asarray(zenith, np.float32),
+        sun_focus=np.float32(1.0),
+        sun_intensity=np.float32(0.0),
+        sun_dir=np.asarray([0.0, 1.0, 0.0], np.float32),
     )
 
 

@@ -237,21 +237,15 @@ class SceneBuilder:
         c = len(chunk_first)
         c_pad = max(1, c)
         chunks = MeshChunks(
-            first_tri=jnp.asarray(
-                np.array(chunk_first + [0] * (c_pad - c), np.int32)
+            first_tri=np.array(chunk_first + [0] * (c_pad - c), np.int32),
+            num_tris=np.array(chunk_count + [0] * (c_pad - c), np.int32),
+            bounds_min=np.array(
+                chunk_bmin + [[1e30] * 3] * (c_pad - c), np.float32
             ),
-            num_tris=jnp.asarray(
-                np.array(chunk_count + [0] * (c_pad - c), np.int32)
+            bounds_max=np.array(
+                chunk_bmax + [[1e30] * 3] * (c_pad - c), np.float32
             ),
-            bounds_min=jnp.asarray(
-                np.array(chunk_bmin + [[1e30] * 3] * (c_pad - c), np.float32)
-            ),
-            bounds_max=jnp.asarray(
-                np.array(chunk_bmax + [[1e30] * 3] * (c_pad - c), np.float32)
-            ),
-            mat_idx=jnp.asarray(
-                np.array(chunk_mat_idx + [0] * (c_pad - c), np.int32)
-            ),
+            mat_idx=np.array(chunk_mat_idx + [0] * (c_pad - c), np.int32),
         )
 
         if not mats:
@@ -263,11 +257,7 @@ class SceneBuilder:
         if s:
             smat[:s] = sphere_mat_idx
 
-        spheres = Spheres(
-            center=jnp.asarray(centers),
-            radius=jnp.asarray(radii),
-            mat_idx=jnp.asarray(smat),
-        )
+        spheres = Spheres(center=centers, radius=radii, mat_idx=smat)
         triangles = _triangles_soa(pos, nrm, tmat)
 
         tri_bvh = sphere_bvh = None
@@ -286,20 +276,29 @@ class SceneBuilder:
                 sentinel=s,
             )
 
-        scene = Scene(
+        # Pack from the HOST-side (numpy) scene, THEN upload once.
+        # pack_scene reads ~30 scene arrays; packing after device upload
+        # forced 30 device->host transfers, which through the axon tunnel
+        # cost ~3 s EACH - 91 of the 103 s a 70k-tri scene build took
+        # (profiled round 2). Host-side packing makes them free.
+        host = Scene(
             spheres=spheres,
             triangles=triangles,
             chunks=chunks,
             materials=materials,
             env=self.env,
-            tri_bvh=tri_bvh,
-            sphere_bvh=sphere_bvh,
+            tri_bvh=None,
+            sphere_bvh=None,
         )
-        # Attach the cluster-packed tables for the Pallas intersector.
         from ..kernels.pack import pack_scene
 
-        scene = dataclasses.replace(scene, packed=pack_scene(scene))
-        return scene
+        packed = pack_scene(host)
+        import jax as _jax
+
+        scene = _jax.tree_util.tree_map(jnp.asarray, host)
+        return dataclasses.replace(
+            scene, tri_bvh=tri_bvh, sphere_bvh=sphere_bvh, packed=packed
+        )
 
 
 def _vertex_normals(vertices: np.ndarray, indices: np.ndarray) -> np.ndarray:
@@ -315,8 +314,8 @@ def _vertex_normals(vertices: np.ndarray, indices: np.ndarray) -> np.ndarray:
 
 def _materials_soa(mats: Sequence[Material]) -> Materials:
     def arr(get, d=1):
-        a = np.array([get(m) for m in mats], np.float32)
-        return jnp.asarray(a)
+        # host numpy: build() packs from these before the device upload
+        return np.array([get(m) for m in mats], np.float32)
 
     return Materials(
         colour=arr(lambda m: m.colour[:3]),
@@ -325,7 +324,7 @@ def _materials_soa(mats: Sequence[Material]) -> Materials:
         emission_strength=arr(lambda m: m.emission_strength),
         smoothness=arr(lambda m: m.smoothness),
         specular_probability=arr(lambda m: m.specular_probability),
-        flag=jnp.asarray(np.array([m.flag for m in mats], np.int32)),
+        flag=np.array([m.flag for m in mats], np.int32),
         ior=arr(lambda m: m.ior),
     )
 
@@ -337,16 +336,18 @@ def _triangles_soa(pos: np.ndarray, nrm: np.ndarray, mat_idx: np.ndarray) -> Tri
     e_ab = b - a
     e_ac = c - a
     n = np.cross(e_ab, e_ac)
+    # host numpy leaves: build() packs from these before the one device
+    # upload (jitted consumers convert numpy on call anyway)
     return Triangles(
-        pos_a=jnp.asarray(a),
-        edge_ab=jnp.asarray(e_ab),
-        edge_ac=jnp.asarray(e_ac),
-        normal_a=jnp.asarray(nrm[:, 0]),
-        normal_b=jnp.asarray(nrm[:, 1]),
-        normal_c=jnp.asarray(nrm[:, 2]),
-        n=jnp.asarray(n),
-        n_dot_a=jnp.asarray(np.sum(n * a, axis=1)),
-        cross_eac_a=jnp.asarray(np.cross(e_ac, a)),
-        cross_eab_a=jnp.asarray(np.cross(e_ab, a)),
-        mat_idx=jnp.asarray(mat_idx),
+        pos_a=a,
+        edge_ab=e_ab,
+        edge_ac=e_ac,
+        normal_a=nrm[:, 0].copy(),
+        normal_b=nrm[:, 1].copy(),
+        normal_c=nrm[:, 2].copy(),
+        n=n,
+        n_dot_a=np.sum(n * a, axis=1),
+        cross_eac_a=np.cross(e_ac, a),
+        cross_eab_a=np.cross(e_ab, a),
+        mat_idx=np.asarray(mat_idx),
     )

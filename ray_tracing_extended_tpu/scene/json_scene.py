@@ -93,21 +93,21 @@ def load_json_scene(path, overrides: dict | None = None):
     sun_dir = np.asarray(envd.get("sunDirection", (0, 1, 0)), np.float32)
     sun_dir = sun_dir / max(np.linalg.norm(sun_dir), 1e-20)
     env = Environment(
-        enabled=jnp.float32(1.0 if envd.get("enabled") else 0.0),
-        ground_colour=jnp.asarray(
-            envd.get("groundColour", (0, 0, 0)), jnp.float32
+        enabled=np.float32(1.0 if envd.get("enabled") else 0.0),
+        ground_colour=np.asarray(
+            envd.get("groundColour", (0, 0, 0)), np.float32
         ),
-        sky_colour_horizon=jnp.asarray(
-            envd.get("skyColourHorizon", (0, 0, 0)), jnp.float32
+        sky_colour_horizon=np.asarray(
+            envd.get("skyColourHorizon", (0, 0, 0)), np.float32
         ),
-        sky_colour_zenith=jnp.asarray(
-            envd.get("skyColourZenith", (0, 0, 0)), jnp.float32
+        sky_colour_zenith=np.asarray(
+            envd.get("skyColourZenith", (0, 0, 0)), np.float32
         ),
-        sun_focus=jnp.float32(max(1.0, float(envd.get("sunFocus", 1)))),
-        sun_intensity=jnp.float32(
+        sun_focus=np.float32(max(1.0, float(envd.get("sunFocus", 1)))),
+        sun_intensity=np.float32(
             max(0.0, float(envd.get("sunIntensity", 0)))
         ),
-        sun_dir=jnp.asarray(sun_dir),
+        sun_dir=np.asarray(sun_dir),
     )
 
     b = SceneBuilder(env=env)
