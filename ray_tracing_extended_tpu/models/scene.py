@@ -296,9 +296,24 @@ class SceneBuilder:
         import jax as _jax
 
         scene = _jax.tree_util.tree_map(jnp.asarray, host)
-        return dataclasses.replace(
+        scene = dataclasses.replace(
             scene, tri_bvh=tri_bvh, sphere_bvh=sphere_bvh, packed=packed
         )
+        # Exact content fingerprint from the HOST arrays (free), attached
+        # as a plain attribute - deliberately NOT a pytree aux (that would
+        # key the jit cache on scene content and recompile per scene).
+        # Consumed by utils/checkpoint.state_hash; jax tree ops drop it,
+        # in which case state_hash falls back to device checksums.
+        import hashlib as _hashlib
+
+        hh = _hashlib.sha256()
+        for leaf in _jax.tree_util.tree_leaves(host):
+            a = np.asarray(leaf)
+            hh.update(str(a.dtype).encode())
+            hh.update(str(a.shape).encode())
+            hh.update(a.tobytes())
+        object.__setattr__(scene, "content_hash", hh.hexdigest()[:32])
+        return scene
 
 
 def _vertex_normals(vertices: np.ndarray, indices: np.ndarray) -> np.ndarray:

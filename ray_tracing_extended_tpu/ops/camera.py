@@ -55,20 +55,29 @@ def look_at(
     Default knob values mirror the manager's inspector defaults
     (RayTracingManager.cs:12-16).
     """
-    position = jnp.asarray(position, jnp.float32)
-    target = jnp.asarray(target, jnp.float32)
-    up_hint = jnp.asarray(up, jnp.float32)
-    fwd = vm.normalize(target - position)
-    right = vm.normalize(vm.cross(up_hint, fwd))
-    up_v = vm.cross(fwd, right)
-    rotation = jnp.stack([right, up_v, fwd], axis=-1)
+    # host numpy: cameras are tiny and jitted consumers convert on call;
+    # keeping them off-device makes checkpoint fingerprints and host-side
+    # camera math free of device round-trips
+    import numpy as _np
+
+    position = _np.asarray(position, _np.float32)
+    target = _np.asarray(target, _np.float32)
+    up_hint = _np.asarray(up, _np.float32)
+
+    def _nrm(v):
+        return v / max(float(_np.linalg.norm(v)), 1e-20)
+
+    fwd = _nrm(target - position)
+    right = _nrm(_np.cross(up_hint, fwd))
+    up_v = _np.cross(fwd, right)
+    rotation = _np.stack([right, up_v, fwd], axis=-1).astype(_np.float32)
     return Camera(
         position=position,
         rotation=rotation,
-        fov_y_deg=jnp.float32(fov_y_deg),
-        focus_distance=jnp.float32(focus_distance),
-        defocus_strength=jnp.float32(defocus_strength),
-        diverge_strength=jnp.float32(diverge_strength),
+        fov_y_deg=_np.float32(fov_y_deg),
+        focus_distance=_np.float32(focus_distance),
+        defocus_strength=_np.float32(defocus_strength),
+        diverge_strength=_np.float32(diverge_strength),
     )
 
 

@@ -25,15 +25,53 @@ import jax
 from .config import RenderConfig
 
 
+def _leaf_checksums(leaves):
+    """One device reduction per leaf, stacked into ONE (2n,) f32 array -
+    a single host transfer regardless of leaf count."""
+    import jax.numpy as jnp
+
+    out = []
+    for x in leaves:
+        x = jnp.asarray(x).astype(jnp.float32).ravel()
+        # position-weighted second moment makes permutations detectable
+        w = jnp.arange(x.shape[0], dtype=jnp.float32) * np.float32(1e-3)
+        out.append(jnp.sum(x))
+        out.append(jnp.sum(x * (w + 1.0)))
+    return jnp.stack(out) if out else jnp.zeros((1,), jnp.float32)
+
+
 def state_hash(scene, camera, cfg: RenderConfig) -> str:
-    """Stable fingerprint of everything that determines frame content."""
+    """Stable fingerprint of everything that determines frame content.
+
+    The scene contributes SceneBuilder.build()'s host-computed exact
+    byte hash (scene.content_hash) when present - free. Cameras built by
+    ops.camera.look_at carry host numpy leaves, so hashing their bytes
+    is also free. Device-resident leaves (a scene that lost its
+    content_hash to a jax tree transform, or hand-built device cameras)
+    fall back to per-leaf device-side checksums fetched in ONE transfer:
+    hashing raw device bytes cost ~3 s PER ARRAY through the axon
+    tunnel. Checksum collisions would need two scenes agreeing on both
+    moments of every array - beyond the accidental-mismatch cases this
+    guard exists for."""
     h = hashlib.sha256()
     h.update(json.dumps(cfg.__dict__, sort_keys=True).encode())
-    for leaf in jax.tree_util.tree_leaves((scene, camera)):
-        arr = np.asarray(leaf)
-        h.update(str(arr.dtype).encode())
-        h.update(str(arr.shape).encode())
-        h.update(arr.tobytes())
+    known = getattr(scene, "content_hash", None)
+    if known is not None:
+        h.update(known.encode())
+        trees = (camera,)
+    else:
+        trees = (scene, camera)
+    device_leaves = []
+    for leaf in jax.tree_util.tree_leaves(trees):
+        h.update(str(getattr(leaf, "dtype", type(leaf).__name__)).encode())
+        h.update(str(tuple(getattr(leaf, "shape", ()))).encode())
+        if isinstance(leaf, (np.ndarray, np.generic, float, int)):
+            h.update(np.asarray(leaf).tobytes())
+        else:
+            device_leaves.append(leaf)
+    if device_leaves:
+        sums = np.asarray(jax.jit(_leaf_checksums)(device_leaves))
+        h.update(sums.tobytes())
     return h.hexdigest()[:32]
 
 
