@@ -18,7 +18,6 @@ Each returns ``(scene, camera, config)``. Scene RNG is a fixed-seed
 from __future__ import annotations
 
 import numpy as np
-import jax.numpy as jnp
 
 from ..ops.camera import Camera, look_at
 from ..utils.config import RenderConfig

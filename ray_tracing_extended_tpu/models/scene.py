@@ -302,17 +302,12 @@ class SceneBuilder:
         # Exact content fingerprint from the HOST arrays (free), attached
         # as a plain attribute - deliberately NOT a pytree aux (that would
         # key the jit cache on scene content and recompile per scene).
-        # Consumed by utils/checkpoint.state_hash; jax tree ops drop it,
-        # in which case state_hash falls back to device checksums.
-        import hashlib as _hashlib
+        # Consumed by utils/checkpoint.state_hash; jax tree ops drop the
+        # attribute, in which case state_hash recomputes the IDENTICAL
+        # hash from the device leaves (slower, same digest).
+        from ..utils.checkpoint import hash_tree
 
-        hh = _hashlib.sha256()
-        for leaf in _jax.tree_util.tree_leaves(host):
-            a = np.asarray(leaf)
-            hh.update(str(a.dtype).encode())
-            hh.update(str(a.shape).encode())
-            hh.update(a.tobytes())
-        object.__setattr__(scene, "content_hash", hh.hexdigest()[:32])
+        object.__setattr__(scene, "content_hash", hash_tree(host))
         return scene
 
 

@@ -65,7 +65,13 @@ def look_at(
     up_hint = _np.asarray(up, _np.float32)
 
     def _nrm(v):
-        return v / max(float(_np.linalg.norm(v)), 1e-20)
+        n = float(_np.linalg.norm(v))
+        if n < 1e-12:
+            raise ValueError(
+                "look_at: degenerate basis (is `up` parallel to the view "
+                "direction?)"
+            )
+        return v / n
 
     fwd = _nrm(target - position)
     right = _nrm(_np.cross(up_hint, fwd))
@@ -89,14 +95,18 @@ def camera_from_matrix(
     defocus_strength=0.0,
     diverge_strength=0.3,
 ) -> Camera:
-    """Camera from an explicit local-to-world rotation (scene-file ports)."""
+    """Camera from an explicit local-to-world rotation (scene-file ports).
+    Host numpy leaves, same as look_at (checkpoint fingerprints and other
+    host reads stay free of device round-trips)."""
+    import numpy as _np
+
     return Camera(
-        position=jnp.asarray(position, jnp.float32),
-        rotation=jnp.asarray(rotation, jnp.float32),
-        fov_y_deg=jnp.float32(fov_y_deg),
-        focus_distance=jnp.float32(focus_distance),
-        defocus_strength=jnp.float32(defocus_strength),
-        diverge_strength=jnp.float32(diverge_strength),
+        position=_np.asarray(position, _np.float32),
+        rotation=_np.asarray(rotation, _np.float32),
+        fov_y_deg=_np.float32(fov_y_deg),
+        focus_distance=_np.float32(focus_distance),
+        defocus_strength=_np.float32(defocus_strength),
+        diverge_strength=_np.float32(diverge_strength),
     )
 
 

@@ -35,7 +35,6 @@ import json
 from pathlib import Path
 
 import numpy as np
-import jax.numpy as jnp
 
 from ..models.geometry import Environment
 from ..models.scene import Material, SceneBuilder

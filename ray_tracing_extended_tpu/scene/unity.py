@@ -290,7 +290,6 @@ def load_unity_scene(path, overrides: dict | None = None):
     env = Environment.disabled()
     cfg_kw = {}
     if manager is not None:
-        import jax.numpy as jnp
 
         es = manager.get("environmentSettings") or {}
         sun_dir = (

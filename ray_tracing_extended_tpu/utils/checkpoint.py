@@ -25,53 +25,46 @@ import jax
 from .config import RenderConfig
 
 
-def _leaf_checksums(leaves):
-    """One device reduction per leaf, stacked into ONE (2n,) f32 array -
-    a single host transfer regardless of leaf count."""
-    import jax.numpy as jnp
+def hash_tree(tree) -> str:
+    """Exact byte hash over a pytree's leaves (dtype, shape, raw bytes).
 
-    out = []
-    for x in leaves:
-        x = jnp.asarray(x).astype(jnp.float32).ravel()
-        # position-weighted second moment makes permutations detectable
-        w = jnp.arange(x.shape[0], dtype=jnp.float32) * np.float32(1e-3)
-        out.append(jnp.sum(x))
-        out.append(jnp.sum(x * (w + 1.0)))
-    return jnp.stack(out) if out else jnp.zeros((1,), jnp.float32)
+    THE one fingerprint primitive: SceneBuilder.build() applies it to the
+    host-side scene (free) and stores the result as scene.content_hash;
+    state_hash applies the identical function in its fallback, so the
+    two paths produce the SAME digest for the same content. Device-array
+    leaves are pulled to the host (~3 s per array through the axon
+    tunnel) - hence the build-time precompute."""
+    h = hashlib.sha256()
+    for leaf in jax.tree_util.tree_leaves(tree):
+        a = np.asarray(leaf)
+        h.update(str(a.dtype).encode())
+        h.update(str(a.shape).encode())
+        h.update(a.tobytes())
+    return h.hexdigest()[:32]
 
 
 def state_hash(scene, camera, cfg: RenderConfig) -> str:
-    """Stable fingerprint of everything that determines frame content.
+    """Stable fingerprint of everything that determines frame content
+    (scheme v2, round 2: scene content via hash_tree over the BASE scene
+    - packed tables / BVHs derive deterministically and are excluded -
+    plus camera leaves and the config dict; checkpoints written by older
+    builds no longer match).
 
-    The scene contributes SceneBuilder.build()'s host-computed exact
-    byte hash (scene.content_hash) when present - free. Cameras built by
-    ops.camera.look_at carry host numpy leaves, so hashing their bytes
-    is also free. Device-resident leaves (a scene that lost its
-    content_hash to a jax tree transform, or hand-built device cameras)
-    fall back to per-leaf device-side checksums fetched in ONE transfer:
-    hashing raw device bytes cost ~3 s PER ARRAY through the axon
-    tunnel. Checksum collisions would need two scenes agreeing on both
-    moments of every array - beyond the accidental-mismatch cases this
-    guard exists for."""
+    SceneBuilder.build() precomputes the scene part from host arrays
+    (free) as scene.content_hash; a scene that lost the attribute to a
+    jax tree transform falls back to the identical hash_tree over its
+    (device) leaves - same digest, slower (host pulls)."""
+    import dataclasses as _dc
+
     h = hashlib.sha256()
     h.update(json.dumps(cfg.__dict__, sort_keys=True).encode())
-    known = getattr(scene, "content_hash", None)
-    if known is not None:
-        h.update(known.encode())
-        trees = (camera,)
-    else:
-        trees = (scene, camera)
-    device_leaves = []
-    for leaf in jax.tree_util.tree_leaves(trees):
-        h.update(str(getattr(leaf, "dtype", type(leaf).__name__)).encode())
-        h.update(str(tuple(getattr(leaf, "shape", ()))).encode())
-        if isinstance(leaf, (np.ndarray, np.generic, float, int)):
-            h.update(np.asarray(leaf).tobytes())
-        else:
-            device_leaves.append(leaf)
-    if device_leaves:
-        sums = np.asarray(jax.jit(_leaf_checksums)(device_leaves))
-        h.update(sums.tobytes())
+    scene_part = getattr(scene, "content_hash", None)
+    if scene_part is None:
+        scene_part = hash_tree(
+            _dc.replace(scene, tri_bvh=None, sphere_bvh=None, packed=None)
+        )
+    h.update(scene_part.encode())
+    h.update(hash_tree(camera).encode())
     return h.hexdigest()[:32]
 
 
@@ -100,6 +93,8 @@ def load(path, fingerprint: str | None = None):
         raise ValueError(
             "checkpoint fingerprint mismatch: the checkpoint was produced by "
             "a different scene/camera/config (refusing to average unrelated "
-            f"renders; saved={saved_fp}, current={fingerprint})"
+            f"renders; saved={saved_fp}, current={fingerprint}). NOTE: the "
+            "fingerprint scheme changed in round 2 - checkpoints written by "
+            "older builds cannot be resumed even for identical scenes."
         )
     return accum, frame
