@@ -111,6 +111,25 @@ def test_mega_adaptive_spp_refill():
     assert np.abs(a.mean() - b.mean()) < 0.01
 
 
+def test_xla_block_size_invariant():
+    """XLA-path renders are bit-identical across block_size: per-pixel
+    seeds are global, so re-batching the pixel axis only re-orders work
+    (the fragment-shader independence property, SURVEY section 4)."""
+    import dataclasses
+
+    from ray_tracing_extended_tpu.render import render_frame
+
+    scene, cam, cfg = three_sphere_scene(width=64, height=36, spp=1)
+    a = render_frame(
+        scene, cam, dataclasses.replace(cfg, block_size=256), jnp.uint32(2)
+    )
+    b = render_frame(
+        scene, cam, dataclasses.replace(cfg, block_size=1024),
+        jnp.uint32(2),
+    )
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_mega_phase_split_bit_identical(monkeypatch):
     """RTX_MEGA_PHASES=2 (coherence-split slots: fresh camera rays and
     scattered survivors trace in alternating slots) only re-orders WHEN
