@@ -31,7 +31,13 @@ def trace(logdir: str):
 
 @contextlib.contextmanager
 def debug_mode(nans: bool = True, disable_jit: bool = False):
-    """NaN sanitizer + optional op-by-op execution for kernel debugging."""
+    """NaN sanitizer + optional op-by-op execution for kernel debugging.
+
+    Use with the XLA path (intersector='bruteforce'/'bvh') - it is the
+    bit-exact semantic reference and what debugging should target. The
+    megakernel deliberately produces transient NaNs (sqrt of a negative
+    sphere discriminant encodes 'no root'; IEEE comparison discards
+    them), so the NaN check false-positives on its interpret mode."""
     ctxs = []
     if nans:
         ctxs.append(jax.debug_nans(True))
