@@ -15,12 +15,17 @@ from ray_tracing_extended_tpu.render import render_frame
 from ray_tracing_extended_tpu.utils.config import RenderConfig
 
 
-def _random_scene(seed: int, with_ground: bool, with_tris: bool):
+def _random_scene(seed: int, with_ground: bool, with_tris: bool,
+                  with_flags: bool = False):
     rng = np.random.default_rng(seed)
     b = SceneBuilder()
     n = int(rng.integers(30, 70))  # straddles 1-3 SUB clusters
     for _ in range(n):
         pos = rng.uniform([-6, 0.2, -6], [6, 2.5, 6])
+        # with_flags sprinkles the material FLAG paths (checker /
+        # invisible-light / dielectric) so their feature-compiled kernel
+        # branches get fuzzed, not just the preset coverage
+        flag = int(rng.choice([0, 0, 1, 2, 3])) if with_flags else 0
         mat = Material(
             colour=tuple(rng.uniform(0.05, 1.0, 3)),
             emission_colour=tuple(rng.uniform(0, 1, 3)),
@@ -28,6 +33,8 @@ def _random_scene(seed: int, with_ground: bool, with_tris: bool):
             specular_colour=tuple(rng.uniform(0.5, 1.0, 3)),
             smoothness=float(rng.uniform(0, 1)),
             specular_probability=float(rng.uniform(0, 1)),
+            flag=flag,
+            ior=1.5 if flag == 3 else 1.0,
         )
         b.add_sphere(tuple(pos), float(rng.uniform(0.1, 0.6)), mat)
     if with_ground:
@@ -54,9 +61,11 @@ def _random_scene(seed: int, with_ground: bool, with_tris: bool):
     return scene, cam, cfg
 
 
-def _check(seed, with_ground, with_tris, prebuilt=None):
-    scene, cam, cfg = prebuilt or _random_scene(seed, with_ground,
-                                                with_tris)
+def _check(seed, with_ground, with_tris, prebuilt=None,
+           with_flags=False):
+    scene, cam, cfg = prebuilt or _random_scene(
+        seed, with_ground, with_tris, with_flags
+    )
     a = np.asarray(render_frame(scene, cam, cfg, jnp.uint32(seed)))
     m, segs = render_frame_mega(scene, cam, cfg, jnp.uint32(seed),
                                 interpret=True)
@@ -89,3 +98,12 @@ def test_fuzz_winner_mode_hoist_tris(monkeypatch):
     assert built[0].packed.fetch_mode == "winner"
     assert built[0].packed.n_hoist == 1
     _check(23, True, True, prebuilt=built)
+
+
+def test_fuzz_material_flags():
+    """Checker / invisible-light / dielectric flags randomly mixed: the
+    feature-specialized kernel branches must agree with the XLA path."""
+    built = _random_scene(31, False, False, with_flags=True)
+    feats = set(built[0].packed.features)
+    assert {"checker", "invisible", "dielectric"} <= feats
+    _check(31, False, False, prebuilt=built)
