@@ -101,9 +101,15 @@ def cmd_render(args):
         )
     metrics.close()
     if args.out:
-        from .utils.image import save_png
+        if args.out.endswith(".npy"):
+            # raw linear radiance (HDR workflows; --hdr keeps it unclamped)
+            import numpy as np
 
-        save_png(args.out, img, tone=args.tone, exposure=args.exposure)
+            np.save(args.out, np.asarray(img, np.float32))
+        else:
+            from .utils.image import save_png
+
+            save_png(args.out, img, tone=args.tone, exposure=args.exposure)
         print(f"wrote {args.out} ({cfg.width}x{cfg.height}, "
               f"{args.frames} frames x {cfg.spp} spp)")
     return 0

@@ -27,6 +27,19 @@ def test_cli_render_png_and_metrics(tmp_path):
     assert "accum_var" in lines[1]  # Welford variance needs n >= 2 frames
 
 
+def test_cli_render_npy_hdr(tmp_path):
+    out = tmp_path / "out.npy"
+    rc = main([
+        "render", "--scene", "preset:three_sphere",
+        "--width", "48", "--height", "32", "--spp", "1", "--hdr",
+        "--frames", "1", "--out", str(out),
+    ])
+    assert rc == 0
+    img = np.load(out)
+    assert img.shape == (32, 48, 3) and img.dtype == np.float32
+    assert not np.isnan(img).any()
+
+
 def test_cli_render_checkpoint_resume(tmp_path):
     ck = tmp_path / "ck.npz"
     args = [
