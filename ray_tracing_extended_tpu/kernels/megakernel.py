@@ -114,7 +114,17 @@ def n_phases() -> int:
 def tile_size(packed, adaptive: bool = False) -> int:
     env = _os.environ.get("RTX_MEGA_TS")
     if env:
-        return int(env)
+        ts = int(env)
+        # the kernel reshapes each TS x TS tile to (TS*TS//128, 128) lane
+        # rows; a non-multiple would floor-truncate ROWS and silently drop
+        # up to 127 pixels per tile - reject at the knob instead of
+        # producing a corrupted image (or a deep Mosaic error)
+        if ts <= 0 or (ts * ts) % LANES != 0:
+            raise ValueError(
+                f"RTX_MEGA_TS must be a positive tile size with TS*TS a "
+                f"multiple of {LANES} (e.g. 32/64/96/128), got {env!r}"
+            )
+        return ts
     if packed.fetch_mode != "onehot":
         return 64
     # measured on the RTIOW 1080p headline: fixed-spp optimum is 96
@@ -408,10 +418,13 @@ def _render_kernel(
         encoded value is bitcast back to f32 and min-folded as f32 -
         same ordering for these never-NaN patterns, and i32 reductions
         trip Mosaic relayout bugs). The low
-        5 mantissa bits of t are sacrificed to the index (<= 2^-18
-        relative, strictly conservative for the slab culls since the
-        encode can only nudge t up by < 32 ulp); segment_body re-derives
-        the exact t of the winning primitive from its fetched parameters.
+        5 mantissa bits of t are sacrificed to the index: a TWO-SIDED
+        perturbation of < 32 ulp (when sub < bits(t) & 31 the encode sits
+        BELOW the true t, so the t-bounded slab cull can be up to ~31 ulp
+        too tight and near-tie winners can differ from the XLA path at
+        ulp scale - within every parity tolerance); segment_body
+        re-derives the exact t of the winning primitive from its fetched
+        parameters.
         Misses encode as +inf, so ``isfinite`` is the hit test.
 
         (Negative results, measured round 2: an expansion-form sphere
@@ -1461,17 +1474,22 @@ def _render_kernel(
 # ------------------------------- launcher -----------------------------------
 
 
-def mega_supported(scene: Scene, cfg: RenderConfig) -> bool:
+# number of (ROWS, LANES) per-lane state scratch buffers the kernel
+# allocates (best enc/clu, rng, ray state, light/throughput, counters -
+# keep in sync with _render_frame_mega_ts's scratch_shapes)
+_N_LANE_STATE = 21
+_VMEM_BUDGET = 15 * 1024 * 1024  # ~16 MB/core minus compiler headroom
+
+
+def mega_vmem_estimate(scene: Scene, cfg: RenderConfig) -> dict | None:
+    """Estimated VMEM footprint (bytes) of the megakernel launch for this
+    scene at the tile size the launcher would pick, mirroring
+    _render_frame_mega_ts's actual allocation: resident tables + per-lane
+    state + fetch scratch + the per-tile output blocks. None if the scene
+    was never packed."""
     p = scene.packed
     if p is None:
-        return False
-    # VMEM budget: the resident tables (geometry columns, bounds, and the
-    # two-level fetch operand) plus the batched-fetch scratch must leave
-    # room for the ~20 per-lane state buffers. The two-level fetch made
-    # the old 4096-slot cap obsolete (one-hot cost no longer scales with
-    # n_slots); the binding constraints now are table bytes and the
-    # per-row combine cost (n_slots/128 masked adds), both fine through
-    # Chess-scale (~6k slots) and beyond.
+        return None
     table_bytes = (
         p.sph_sub_cols.size
         + p.tri_sub_cols.size
@@ -1481,20 +1499,66 @@ def mega_supported(scene: Scene, cfg: RenderConfig) -> bool:
         + p.tri_attr.size
         + p.fetch_tab2.size
     ) * 4
+    ts = tile_size(p, cfg.adaptive_spp)
+    tile = ts * ts
+    lane_state = _N_LANE_STATE * tile * 4
+    # per-tile output blocks (r/g/b/segs + hist), double-buffered by the
+    # pipeline
+    hist_rows = -(-(cfg.max_bounce + 1) // 8) * 8
+    rows = tile // LANES
+    out_bytes = 2 * (4 * tile + hist_rows * LANES) * 4
     if p.fetch_mode == "winner":
-        # winner post-pass fetch: tables dominate (attr + cols); scratch
-        # is the one-hot + two accumulators at (rows, tile) width
         nwf = p.sph_attr.shape[-1]
-        tile = tile_size(p) ** 2
-        scratch_bytes = (SUB + 16 + nwf) * tile * 4
-        return table_bytes + scratch_bytes <= 13 * 1024 * 1024
-    slots = p.fetch_tab.shape[1]
-    nf = p.fetch_tab2.shape[0] // max(slots // 128, 1)
-    # min-gb batched-fetch scratch (launcher shrinks gb to <= 4 MB)
-    scratch_bytes = min(
-        (slots // 128) * nf * LANES * 4, 4 * 1024 * 1024
-    ) + 128 * LANES * 4
-    return table_bytes + scratch_bytes <= 8 * 1024 * 1024
+        fetch_scratch = (SUB + 16 + nwf) * tile * 4 + (128 + 1) * LANES * 4
+    else:
+        # one-hot two-level fetch: gb shrunk exactly like the launcher
+        n_fc = p.fetch_tab.shape[1] // 128
+        nf = p.fetch_tab2.shape[0] // n_fc
+        gb = rows
+        while gb > 1 and n_fc * nf * gb * LANES * 4 > 4 * 1024 * 1024:
+            gb //= 2
+        nwf = p.sph_attr.shape[-1]
+        fetch_scratch = (
+            (128 + n_fc * nf) * gb * LANES * 4  # oh + bfet
+            + (SUB + 16 + nwf) * LANES * 4  # token winner scratch
+        )
+    return {
+        "tables": table_bytes,
+        "lane_state": lane_state,
+        "fetch_scratch": fetch_scratch,
+        "outputs": out_bytes,
+        "total": table_bytes + lane_state + fetch_scratch + out_bytes,
+        "budget": _VMEM_BUDGET,
+        "tile_size": ts,
+    }
+
+
+def mega_supported(scene: Scene, cfg: RenderConfig) -> bool:
+    """Whether the megakernel can run this scene: every resident table and
+    scratch buffer must fit the ~16 MB/core VMEM with headroom. The
+    two-level fetch made the old 4096-slot cap obsolete (one-hot cost no
+    longer scales with n_slots); the binding constraints are table bytes
+    and scratch at the launch tile size. A rejection warns loudly with the
+    byte breakdown - the XLA BVH fallback is ~30x slower on 70k-tri
+    scenes, and silence made that cliff invisible (VERDICT round 2)."""
+    est = mega_vmem_estimate(scene, cfg)
+    if est is None:
+        return False
+    if est["total"] <= est["budget"]:
+        return True
+    import warnings
+
+    warnings.warn(
+        "megakernel rejected: estimated VMEM "
+        f"{est['total'] / 1e6:.1f} MB > budget {est['budget'] / 1e6:.1f} MB "
+        f"(tables {est['tables'] / 1e6:.1f}, lane state "
+        f"{est['lane_state'] / 1e6:.1f}, fetch scratch "
+        f"{est['fetch_scratch'] / 1e6:.1f} MB at tile {est['tile_size']}); "
+        "falling back to the XLA path (~30x slower on large meshes). "
+        "Smaller RTX_MEGA_TS may fit.",
+        stacklevel=2,
+    )
+    return False
 
 
 def render_frame_mega(

@@ -40,8 +40,15 @@ class RenderConfig:
     # parity, RayTracing.shader:374), and output is independent of tile
     # layout / device count; with refill the extra-sample count depends on
     # tile companions, so images are deterministic only for a fixed
-    # layout. Unbiased: a lane's refill count is set by the tile's
-    # slowest lanes, not by its own sample values.
+    # layout. Consistent, MC-level agreement with the exact-spp mean:
+    # the refill WINDOW is set by the tile's slowest lanes (not by a
+    # lane's own sample values), but the number of refill samples a lane
+    # completes inside that window does correlate with its own path
+    # lengths, and refills still in flight when the static slot bound is
+    # exhausted are dropped - a stopping-time effect bounded by ~one
+    # partial sample over >= spp completed ones (slight preference for
+    # short-path radiance). Use the default exact-spp mode where strict
+    # estimator neutrality matters.
     adaptive_spp: bool = False
     # Fast scatter sampler (megakernel only): Marsaglia-style uniform unit
     # vector (2 PCG draws, sqrt+sin+cos) instead of the reference's three

@@ -7,6 +7,7 @@ whole-frame comparisons are tight except for rare knife-edge path divergence.
 
 import numpy as np
 import jax.numpy as jnp
+import pytest
 
 from ray_tracing_extended_tpu.kernels.megakernel import render_frame_mega
 from ray_tracing_extended_tpu.models.presets import (
@@ -92,8 +93,11 @@ def test_mega_segment_count_sane():
 def test_mega_adaptive_spp_refill():
     """cfg.adaptive_spp: lanes past their quota trace extra samples while
     tile-mates are below it; output is the per-pixel mean over >= spp
-    completed samples. Unbiased - the refilled render must agree with the
-    fixed-spp one within MC noise, with strictly more segments traced."""
+    completed samples. Consistent (MC-level agreement; a small
+    stopping-time length-bias bounded by ~one partial sample per pixel,
+    see utils/config.py adaptive_spp) - the refilled render must agree
+    with the fixed-spp one within MC noise, with strictly more segments
+    traced."""
     import dataclasses
 
     scene, cam, cfg = three_sphere_scene(width=64, height=32, spp=4)
@@ -179,6 +183,33 @@ def test_mega_tile_size_invariant(monkeypatch):
     monkeypatch.setitem(os.environ, "RTX_MEGA_TS", "16")
     b, _ = render_frame_mega(scene, cam, cfg, jnp.uint32(1), interpret=True)
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_mega_ts_knob_validated(monkeypatch):
+    """RTX_MEGA_TS values whose TS*TS is not a multiple of 128 would
+    floor-truncate ROWS and silently drop pixels; the knob must reject
+    them (ADVICE round 2). A VMEM estimate exists for any packed scene
+    and accounts for the lane-state buffers."""
+    import os
+
+    from ray_tracing_extended_tpu.kernels.megakernel import (
+        mega_vmem_estimate,
+        tile_size,
+    )
+
+    scene, cam, cfg = three_sphere_scene(width=48, height=32, spp=1)
+    for bad in ("40", "0", "-64"):
+        monkeypatch.setitem(os.environ, "RTX_MEGA_TS", bad)
+        with pytest.raises(ValueError, match="RTX_MEGA_TS"):
+            tile_size(scene.packed)
+    monkeypatch.setitem(os.environ, "RTX_MEGA_TS", "64")
+    assert tile_size(scene.packed) == 64
+    monkeypatch.delitem(os.environ, "RTX_MEGA_TS")
+    est = mega_vmem_estimate(scene, cfg)
+    assert est["lane_state"] == 21 * tile_size(scene.packed) ** 2 * 4
+    assert est["total"] == sum(
+        est[k] for k in ("tables", "lane_state", "fetch_scratch", "outputs")
+    )
 
 
 def test_mega_winner_fetch_matches_onehot(monkeypatch):
