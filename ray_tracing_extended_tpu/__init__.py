@@ -38,6 +38,7 @@ from .ops.accumulate import accumulate
 from .progressive import render_progressive
 from .render import (
     render_and_accumulate,
+    render_frames_and_accumulate,
     render_frame,
     render_frame_with_stats,
 )
@@ -65,6 +66,7 @@ __all__ = [
     "camera_from_matrix",
     "look_at",
     "render_and_accumulate",
+    "render_frames_and_accumulate",
     "render_frame",
     "render_frame_with_stats",
     "render_progressive",

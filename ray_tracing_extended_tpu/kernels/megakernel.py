@@ -150,6 +150,9 @@ _SUBM = np.int32(SUB - 1)
 _SUBMN = np.int32(~(SUB - 1))
 _DET_EPS = np.float32(1e-6)
 _U = lambda x: jnp.uint32(x)
+# fparams index of the first per-frame accumulate weight (K-frame batch):
+# fp[_W0 + k] = 1 / (frame0 + k + 1), computed in XLA by the launcher
+_W0 = 36
 
 # ------------------------- in-kernel RNG (PCG) ------------------------------
 
@@ -230,6 +233,7 @@ def _render_kernel(
     #   15   defocus_w 16 diverge_w 17 env_on
     #   18-20 ground colour  21-23 horizon colour  24-26 zenith colour
     #   27   sun_focus 28 sun_intensity  29-31 sun_dir  32-35 pad
+    #   36.. per-frame accumulate weights 1/(frame0+k+1) (K-frame batch)
     fp_ref,
     # SMEM f32 (max(1, n_hoist)*8,): hoisted oversized spheres (pack.py
     # _hoist_candidates), 8 floats each: cx cy cz r^2 sub_base sub_idx p p
@@ -243,6 +247,9 @@ def _render_kernel(
     fetch2_ref,  # (n_slots/128 * n_fetch_rows, 128) two-level fetch operand
     sph_attr_ref,  # (NSs_pad, SUB, nwf): winner-fetch attr rows (spheres)
     tri_attr_ref,  # (NSt_pad, SUB, nwf): winner-fetch attr rows (tris)
+    acc_r_ref,  # (ROWS, 128) accum-in blocks (token (1, 128) zeros unless
+    acc_g_ref,  # with_accum: see render_frames_mega - the K-frame batched
+    acc_b_ref,  # launch folds completed frames into the running average)
     out_r_ref,  # (ROWS, 128) f32
     out_g_ref,
     out_b_ref,
@@ -260,8 +267,9 @@ def _render_kernel(
     s_cr_ref, s_cg_ref, s_cb_ref,  # throughput (0 = lane dead)
     s_segs_ref,  # int32 live-segment counter (Mrays/s numerator)
     s_tr_ref, s_tg_ref, s_tb_ref,  # banked totals over completed samples
-    s_ns_ref,  # int32 completed-sample count
+    s_ns_ref,  # int32 completed-sample count (TOTAL across batched frames)
     s_bc_ref,  # int32 bounce index of the current sample
+    s_fk_ref,  # int32 current frame index within the batch (0..n_frames-1)
     oh_ref,  # (128, GB*128) f32: batched within-cluster one-hot operand
     bfet_ref,  # (n_fc*nf, GB*128) f32: batched fetch dot result
     ohw_ref,  # (SUB, ROWS*128) f32: winner-fetch one-hot (winner mode)
@@ -287,6 +295,9 @@ def _render_kernel(
     n_slots: int,
     features: tuple = (),
     hist_rows: int = 8,
+    n_frames: int = 1,
+    with_accum: bool = False,
+    clamp_accum: bool = True,
     adaptive: bool = False,
     fast_scatter: bool = False,
     phases: int = 1,
@@ -1241,6 +1252,23 @@ def _render_kernel(
     s_tb_ref[...] = zero_f
     s_ns_ref[...] = zero_i
     s_bc_ref[...] = zero_i
+    s_fk_ref[...] = zero_i
+    if with_accum:
+        # running average carried per-lane; input blocks hold the
+        # caller's accumulator (frame 0's weight is 1, so stale content
+        # is discarded exactly like ops/accumulate.py)
+        acc_r = acc_r_ref[...]
+        acc_g = acc_g_ref[...]
+        acc_b = acc_b_ref[...]
+        out_r_ref[...] = acc_r + zero_f
+        out_g_ref[...] = acc_g + zero_f
+        out_b_ref[...] = acc_b + zero_f
+    # total sample quota across the frame batch; a lane advances to its
+    # next frame (fresh reference seed pix + frame*719393) the moment its
+    # current frame's spp quota completes - idle-lane occupancy is the
+    # parity-mode bottleneck (58% measured round 2), and batching frames
+    # amortises the per-tile max-lane slot bound over K frames of work
+    quota = n_frames * spp
 
     out_hist_ref[...] = lax.broadcasted_iota(
         jnp.int32, (hist_rows, LANES), 1
@@ -1261,21 +1289,22 @@ def _render_kernel(
         # intersect inputs are parked and all updates are part-masked).
         is_primary = (slot_i % 2) == 0 if phases == 2 else True
 
-        @pl.when(jnp.any(live0 | (ns < spp)))
+        @pl.when(jnp.any(live0 | (ns < quota)))
         def _():
             if count_visits:
                 r = hist_rows - 3
                 out_hist_ref[r : r + 1, :] = out_hist_ref[r : r + 1, :] + 1
             if adaptive:
-                # sample refill (cfg.adaptive_spp): lanes past their spp
-                # quota start EXTRA samples while any tile lane is still
-                # below it. Refill stops the moment the slowest lane
-                # reaches spp, so the loop drains within one path length;
-                # the slot bound still guarantees every lane banks >= spp
+                # sample refill (cfg.adaptive_spp): lanes past their total
+                # quota start EXTRA samples (continuing the LAST batched
+                # frame's stream) while any tile lane is still below it.
+                # Refill stops the moment the slowest lane reaches quota,
+                # so the loop drains within one path length; the slot
+                # bound still guarantees every lane banks >= spp per frame
                 # (a lane only overflows AFTER completing its quota).
-                need = (~live0) & ((ns < spp) | jnp.any(ns < spp))
+                need = (~live0) & ((ns < quota) | jnp.any(ns < quota))
             else:
-                need = (~live0) & (ns < spp)
+                need = (~live0) & (ns < quota)
 
             if phases == 2:
                 # fresh lanes only trace (and re-seed) on primary slots
@@ -1291,6 +1320,60 @@ def _render_kernel(
             @pl.when(jnp.any(need))
             def _():
                 state = s_st_ref[...]
+                if n_frames > 1:
+                    # ---- frame advance (K-frame batching) ----
+                    # A lane whose current frame's spp quota just
+                    # completed folds that frame's mean into its running
+                    # average and moves to the next batched frame. The
+                    # fold is ops/accumulate.py verbatim (weight
+                    # 1/(frame+1), optional saturate); the per-frame
+                    # weights were computed OUTSIDE the kernel with the
+                    # same XLA divide (fp_ref tail) so sequential
+                    # accumulation and the batched fold are bit-identical.
+                    fk = s_fk_ref[...]
+                    nsf = ns - fk * spp
+                    fdone = need & (nsf >= spp) & (fk < (n_frames - 1))
+                    fd = jnp.where(fdone, zero_f + 1.0, zero_f)
+                    kfd = 1.0 - fd
+                    w = zero_f
+                    for k in range(n_frames - 1):
+                        w = w + jnp.where(
+                            fk == k, zero_f + fp_ref[_W0 + k], zero_f
+                        )
+                    inv_spp = np.float32(1.0 / spp)
+                    ar = out_r_ref[...] * (1.0 - w) + (
+                        s_tr_ref[...] * inv_spp
+                    ) * w
+                    ag = out_g_ref[...] * (1.0 - w) + (
+                        s_tg_ref[...] * inv_spp
+                    ) * w
+                    ab = out_b_ref[...] * (1.0 - w) + (
+                        s_tb_ref[...] * inv_spp
+                    ) * w
+                    if clamp_accum:
+                        ar = jnp.clip(ar, 0.0, 1.0)
+                        ag = jnp.clip(ag, 0.0, 1.0)
+                        ab = jnp.clip(ab, 0.0, 1.0)
+                    out_r_ref[...] = ar * fd + out_r_ref[...] * kfd
+                    out_g_ref[...] = ag * fd + out_g_ref[...] * kfd
+                    out_b_ref[...] = ab * fd + out_b_ref[...] * kfd
+                    s_tr_ref[...] = s_tr_ref[...] * kfd
+                    s_tg_ref[...] = s_tg_ref[...] * kfd
+                    s_tb_ref[...] = s_tb_ref[...] * kfd
+                    fk2 = fk + jnp.where(fdone, zero_i + 1, zero_i)
+                    s_fk_ref[...] = fk2
+                    # fresh reference seed for a lane's first sample of a
+                    # new frame: pix + frame*719393 (RayTracing.shader:
+                    # 358-362) - frames are independently seeded, which is
+                    # exactly what makes cross-frame batching bit-exact
+                    fresh = need & ((ns - fk2 * spp) == 0)
+                    seed_k = pltpu.bitcast(
+                        pix + (frame + fk2) * 719393, jnp.uint32
+                    )
+                    fsel = pltpu.bitcast(
+                        jnp.where(fresh, zero_i + 1, zero_i), jnp.uint32
+                    )
+                    state = seed_k * fsel + state * (_U(1) - fsel)
                 st2, cjx, cjy = _rand_circle(state)
                 cjx = cjx * defocus_w
                 cjy = cjy * defocus_w
@@ -1454,20 +1537,37 @@ def _render_kernel(
 
         return carry
 
-    lax.fori_loop(0, spp * (max_bounce + 1) * phases, slot_body,
+    lax.fori_loop(0, n_frames * spp * (max_bounce + 1) * phases, slot_body,
                   jnp.int32(0))
 
     if adaptive:
-        # per-pixel mean over the samples that actually completed (>= spp;
-        # every lane reaches its quota within the slot bound)
+        # per-pixel mean over the samples that actually completed in the
+        # LAST batched frame (>= spp; every lane reaches its quota within
+        # the slot bound; refill extras all land in the last frame)
+        nsf_last = s_ns_ref[...] - (n_frames - 1) * spp
         inv_n = 1.0 / jnp.maximum(
-            s_ns_ref[...].astype(jnp.float32), np.float32(1.0)
+            nsf_last.astype(jnp.float32), np.float32(1.0)
         )
     else:
         inv_n = np.float32(1.0 / spp)
-    out_r_ref[:] = s_tr_ref[...] * inv_n
-    out_g_ref[:] = s_tg_ref[...] * inv_n
-    out_b_ref[:] = s_tb_ref[...] * inv_n
+    if with_accum:
+        # fold the final batched frame (frames 0..n_frames-2 folded at
+        # their completion inside the scheduler)
+        wl = fp_ref[_W0 + n_frames - 1]
+        ar = out_r_ref[...] * (1.0 - wl) + (s_tr_ref[...] * inv_n) * wl
+        ag = out_g_ref[...] * (1.0 - wl) + (s_tg_ref[...] * inv_n) * wl
+        ab = out_b_ref[...] * (1.0 - wl) + (s_tb_ref[...] * inv_n) * wl
+        if clamp_accum:
+            ar = jnp.clip(ar, 0.0, 1.0)
+            ag = jnp.clip(ag, 0.0, 1.0)
+            ab = jnp.clip(ab, 0.0, 1.0)
+        out_r_ref[:] = ar
+        out_g_ref[:] = ag
+        out_b_ref[:] = ab
+    else:
+        out_r_ref[:] = s_tr_ref[...] * inv_n
+        out_g_ref[:] = s_tg_ref[...] * inv_n
+        out_b_ref[:] = s_tb_ref[...] * inv_n
     out_segs_ref[:] = s_segs_ref[...]
 
 
@@ -1477,7 +1577,7 @@ def _render_kernel(
 # number of (ROWS, LANES) per-lane state scratch buffers the kernel
 # allocates (best enc/clu, rng, ray state, light/throughput, counters -
 # keep in sync with _render_frame_mega_ts's scratch_shapes)
-_N_LANE_STATE = 21
+_N_LANE_STATE = 22
 _VMEM_BUDGET = 15 * 1024 * 1024  # ~16 MB/core minus compiler headroom
 
 
@@ -1597,7 +1697,47 @@ def render_frame_mega(
     )
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "ts", "phases", "interpret", "use_cull", "stub_fetch", "stub_intersect", "dup_intersect", "dup_fetch", "band_height", "collect_stats"))
+def render_frames_mega(
+    scene: Scene,
+    camera,
+    cfg: RenderConfig,
+    frame0,
+    accum,
+    n_frames: int,
+    interpret: bool = False,
+    y0=0,
+    band_height: int | None = None,
+):
+    """Render ``n_frames`` consecutive frames in ONE kernel launch and fold
+    them into the running average ``accum`` ((H, W, 3) f32).
+
+    Returns (accum', total live ray segments uint32). Matches the
+    sequential loop ``for k: accumulate(prev, render_frame_mega(frame0+k),
+    frame0+k, cfg.clamp_accumulate)`` sample-for-sample (same RNG streams,
+    same segment count; the fold itself can differ by 1 ulp per step from
+    compiler mul+add contraction) - frames are independently seeded
+    (pix + frame*719393, RayTracing.shader:358-362), so a lane that
+    finishes its spp quota starts the NEXT frame's samples immediately
+    instead of idling until the tile's slowest lane catches up. Parity
+    (exact-spp) renders are max-lane-bound per tile; batching K frames
+    shrinks the per-lane total-work spread by ~sqrt(K), lifting live-lane
+    occupancy (the measured round-2 parity bottleneck: 58%).
+
+    The per-frame fold uses ops/accumulate.py's exact expression with
+    weights 1/(frame0+k+1) precomputed OUTSIDE the kernel by the same XLA
+    divide; cfg.clamp_accumulate selects the reference's saturate
+    (Accumulate.shader:48-50) vs HDR accumulation. In adaptive_spp mode
+    refill extras all land in the final batched frame.
+    """
+    return _render_frame_mega_ts(
+        scene, camera, cfg, frame0,
+        tile_size(scene.packed, cfg.adaptive_spp), n_phases(), interpret,
+        True, False, False, False, False,
+        y0, band_height, False, accum, n_frames,
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "ts", "phases", "interpret", "use_cull", "stub_fetch", "stub_intersect", "dup_intersect", "dup_fetch", "band_height", "collect_stats", "n_frames"))
 def _render_frame_mega_ts(
     scene: Scene,
     camera,
@@ -1614,8 +1754,14 @@ def _render_frame_mega_ts(
     y0=0,
     band_height: int | None = None,
     collect_stats: bool = False,
+    accum=None,
+    n_frames: int = 1,
 ):
     import math as _math
+
+    with_accum = accum is not None
+    if n_frames > 1 and not with_accum:
+        raise ValueError("n_frames > 1 requires an accumulator image")
 
     p = scene.packed
     TS = ts
@@ -1651,6 +1797,16 @@ def _render_frame_mega_ts(
             jnp.stack([env.sun_focus, env.sun_intensity]),
             env.sun_dir,
             jnp.zeros((4,), jnp.float32),
+            # per-frame accumulate weights for the K-frame batch (_W0..):
+            # computed here with the same XLA divide ops/accumulate.py
+            # uses, so the in-kernel fold is bit-identical to sequential
+            # accumulation
+            1.0
+            / (
+                jnp.asarray(frame, jnp.float32)
+                + 1.0
+                + jnp.arange(n_frames, dtype=jnp.float32)
+            ),
         ]
     ).astype(jnp.float32)
     iparams = jnp.stack(
@@ -1713,6 +1869,9 @@ def _render_frame_mega_ts(
         spp=cfg.spp,
         gb=gb,
         hist_rows=hist_rows,
+        n_frames=n_frames,
+        with_accum=with_accum,
+        clamp_accum=cfg.clamp_accumulate,
         adaptive=cfg.adaptive_spp,
         fast_scatter=cfg.fast_scatter,
         phases=phases,
@@ -1748,6 +1907,33 @@ def _render_frame_mega_ts(
         (ROWS, LANES), lambda i, ip, sp, sps, tp, tps, fp, hp: (i, 0),
         memory_space=pltpu.VMEM,
     )
+    if with_accum:
+        # accumulator input in the kernel's tile-block layout, built with
+        # the kernel's exact pixel mapping (edge tiles clamp to the image,
+        # bands index the FULL accumulator so inter-band clamp overlap
+        # reads real rows)
+        ys = jnp.minimum(
+            jnp.asarray(y0, jnp.int32) + jnp.arange(n_ty * TS),
+            cfg.height - 1,
+        )
+        xs = jnp.minimum(jnp.arange(n_tx * TS), cfg.width - 1)
+        acc_g_full = accum[ys][:, xs]  # (n_ty*TS, n_tx*TS, 3)
+        acc_tiled = (
+            acc_g_full.reshape(n_ty, TS, n_tx, TS, 3)
+            .transpose(0, 2, 1, 3, 4)
+            .reshape(n_tiles * ROWS, LANES, 3)
+        )
+        acc_in = [acc_tiled[..., 0], acc_tiled[..., 1], acc_tiled[..., 2]]
+        acc_spec = [out_spec] * 3
+    else:
+        acc_in = [jnp.zeros((1, LANES), jnp.float32)] * 3
+        acc_spec = [
+            pl.BlockSpec(
+                (1, LANES),
+                lambda i, ip, sp, sps, tp, tps, fp, hp: (0, 0),
+                memory_space=pltpu.VMEM,
+            )
+        ] * 3
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=7,
         grid=(n_tiles,),
@@ -1761,7 +1947,7 @@ def _render_frame_mega_ts(
             full(p.fetch_tab2),
             full(p.sph_attr),
             full(p.tri_attr),
-        ],
+        ] + acc_spec,
         out_specs=[
             out_spec, out_spec, out_spec, out_spec,
             pl.BlockSpec(
@@ -1779,6 +1965,7 @@ def _render_frame_mega_ts(
         ] + [pltpu.VMEM((ROWS, LANES), jnp.float32)] * 3 + [
             pltpu.VMEM((ROWS, LANES), jnp.int32),  # samples done
             pltpu.VMEM((ROWS, LANES), jnp.int32),  # bounce index
+            pltpu.VMEM((ROWS, LANES), jnp.int32),  # batch frame index
             pltpu.VMEM((128, gb * LANES), jnp.float32),  # one-hot batch
             pltpu.VMEM(
                 (n_fc_l * nf_l, gb * LANES), jnp.float32
@@ -1812,7 +1999,7 @@ def _render_frame_mega_ts(
     )(iparams, sperm, sperm_sup, tperm, tperm_sup, fparams, p.hoist_params,
       p.sph_sub_bounds, p.sph_super_bounds, p.sph_sub_cols,
       p.tri_sub_bounds, p.tri_super_bounds, p.tri_sub_cols, p.fetch_tab2,
-      p.sph_attr, p.tri_attr)
+      p.sph_attr, p.tri_attr, *acc_in)
 
     def untile(a):
         """(n_tiles * ROWS, LANES) tile-local order -> (bh, W) band crop."""

@@ -217,6 +217,48 @@ def render_frame(scene: Scene, camera: Camera, cfg: RenderConfig, frame):
     return img
 
 
+@functools.partial(
+    jax.jit, static_argnames=("cfg", "n_frames"), donate_argnums=(3,)
+)
+def render_frames_and_accumulate(
+    scene: Scene,
+    camera: Camera,
+    cfg: RenderConfig,
+    accum,
+    frame0,
+    n_frames: int = 1,
+):
+    """``n_frames`` progressive steps fused into one dispatch -> (accum',
+    total ray segments uint32).
+
+    On the megakernel path this is ONE kernel launch: frames are
+    independently seeded (pix + frame*719393), so a lane that finishes a
+    frame's spp quota immediately starts the next frame's samples instead
+    of idling for the tile's slowest lane - the parity-mode occupancy
+    fix (kernels/megakernel.py render_frames_mega). Sample-for-sample
+    identical to the sequential render_and_accumulate loop (fold within
+    1 ulp/step of compiler contraction noise). The XLA path folds
+    sequentially with the same weights."""
+    if _use_megakernel(scene, cfg):
+        from .kernels.megakernel import render_frames_mega
+
+        interpret = jax.devices()[0].platform != "tpu"
+        return render_frames_mega(
+            scene, camera, cfg, frame0, accum, n_frames,
+            interpret=interpret,
+        )
+    total = jnp.uint32(0)
+    for k in range(n_frames):
+        cur, segs = render_frame_with_stats(
+            scene, camera, cfg, frame0 + jnp.uint32(k)
+        )
+        accum = accumulate(
+            accum, cur, frame0 + jnp.uint32(k), clamp=cfg.clamp_accumulate
+        )
+        total = total + segs
+    return accum, total
+
+
 @functools.partial(jax.jit, static_argnames=("cfg",), donate_argnums=(3,))
 def render_and_accumulate(
     scene: Scene, camera: Camera, cfg: RenderConfig, accum, frame

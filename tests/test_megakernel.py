@@ -185,6 +185,62 @@ def test_mega_tile_size_invariant(monkeypatch):
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+def test_mega_frame_batch_matches_sequential():
+    """K-frame batched launch (render_frames_mega): lanes advance through
+    independently-seeded frames instead of idling after their spp quota -
+    the output accumulator must match the sequential render +
+    ops/accumulate fold to within 1 ulp per fold step (the fold is the
+    same f32 expression, but mul+add contraction differs between the
+    in-kernel and XLA compilation contexts), with the same total segment
+    count (it is the same work, rescheduled)."""
+    import dataclasses
+
+    from ray_tracing_extended_tpu.kernels.megakernel import (
+        render_frames_mega,
+    )
+    from ray_tracing_extended_tpu.ops.accumulate import accumulate
+
+    scene, cam, cfg = three_sphere_scene(width=32, height=16, spp=2)
+    for clamp in (True, False):
+        c = dataclasses.replace(cfg, clamp_accumulate=clamp)
+        acc = jnp.zeros((16, 32, 3), jnp.float32)
+        segs_seq = 0
+        for f in range(3):
+            img, segs = render_frame_mega(
+                scene, cam, c, jnp.uint32(f), interpret=True
+            )
+            acc = accumulate(acc, img, jnp.uint32(f), clamp=clamp)
+            segs_seq += int(segs)
+        acc_b, segs_b = render_frames_mega(
+            scene, cam, c, jnp.uint32(0),
+            jnp.zeros((16, 32, 3), jnp.float32), 3, interpret=True,
+        )
+        np.testing.assert_allclose(
+            np.asarray(acc), np.asarray(acc_b), rtol=0, atol=5e-7
+        )
+        assert segs_seq == int(segs_b)
+
+
+def test_render_frames_and_accumulate_xla_path():
+    """The public fused progressive step falls back to a sequential XLA
+    fold off-TPU and matches render_and_accumulate exactly."""
+    from ray_tracing_extended_tpu.render import (
+        render_and_accumulate,
+        render_frames_and_accumulate,
+    )
+
+    scene, cam, cfg = three_sphere_scene(width=32, height=16, spp=2)
+    acc = jnp.zeros((16, 32, 3), jnp.float32)
+    for f in range(2):
+        acc = render_and_accumulate(scene, cam, cfg, acc, jnp.uint32(f))
+    acc_b, segs = render_frames_and_accumulate(
+        scene, cam, cfg, jnp.zeros((16, 32, 3), jnp.float32),
+        jnp.uint32(0), 2,
+    )
+    np.testing.assert_array_equal(np.asarray(acc), np.asarray(acc_b))
+    assert int(segs) > 0
+
+
 def test_mega_ts_knob_validated(monkeypatch):
     """RTX_MEGA_TS values whose TS*TS is not a multiple of 128 would
     floor-truncate ROWS and silently drop pixels; the knob must reject
@@ -193,6 +249,7 @@ def test_mega_ts_knob_validated(monkeypatch):
     import os
 
     from ray_tracing_extended_tpu.kernels.megakernel import (
+        _N_LANE_STATE,
         mega_vmem_estimate,
         tile_size,
     )
@@ -206,7 +263,9 @@ def test_mega_ts_knob_validated(monkeypatch):
     assert tile_size(scene.packed) == 64
     monkeypatch.delitem(os.environ, "RTX_MEGA_TS")
     est = mega_vmem_estimate(scene, cfg)
-    assert est["lane_state"] == 21 * tile_size(scene.packed) ** 2 * 4
+    assert est["lane_state"] == (
+        _N_LANE_STATE * tile_size(scene.packed) ** 2 * 4
+    )
     assert est["total"] == sum(
         est[k] for k in ("tables", "lane_state", "fetch_scratch", "outputs")
     )
