@@ -199,10 +199,6 @@ def test_render_parity_frame0():
     _assert_parity(img_jax, img_ref)
 
 
-@pytest.mark.skipif(
-    not os.environ.get("RTE_SLOW_TESTS"),
-    reason="scalar oracle is slow; set RTE_SLOW_TESTS=1",
-)
 def test_render_parity_frame7():
     img_jax, img_ref = _render_both(frame=7)
     _assert_parity(img_jax, img_ref)
@@ -224,10 +220,6 @@ def _assert_parity(img_jax, img_ref):
     assert abs(img_jax.mean() - img_ref.mean()) / img_ref.mean() < 0.03
 
 
-@pytest.mark.skipif(
-    not os.environ.get("RTE_SLOW_TESTS"),
-    reason="968-tri scalar oracle is slow; set RTE_SLOW_TESTS=1",
-)
 def test_mesh_scene_parity_fbx_oracle():
     """Scene-scale parity for the triangle/import pipeline (VERDICT round-1
     next-step 6): Suzanne (968 FBX triangles) rendered by the framework vs
