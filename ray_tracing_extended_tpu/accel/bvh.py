@@ -194,6 +194,14 @@ def build_lbvh(
             work.append((l_node, s, m))
 
     _assert_traversable(np.array(left, np.int32), np.array(right, np.int32))
+    # OOB guard (SURVEY section 5 sanitizer row): every leaf slot the
+    # device traversal gathers (closest_hit_bvh's leaf_prims rows) must be
+    # a real primitive index or the sentinel padding slot - the device
+    # side has no bounds checks, so a builder bug would read garbage rows.
+    lp = np.stack(leaf_prims)
+    assert lp.min() >= 0 and lp.max() <= sentinel, (
+        f"leaf_prims slot out of range [0, {sentinel}]"
+    )
     return BVH(
         bounds_min=jnp.asarray(np.stack(bounds_min)),
         bounds_max=jnp.asarray(np.stack(bounds_max)),

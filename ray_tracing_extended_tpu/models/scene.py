@@ -257,6 +257,28 @@ class SceneBuilder:
         if s:
             smat[:s] = sphere_mat_idx
 
+        # Build-time OOB guard (SURVEY section 5 sanitizer row): every
+        # material index the device-side gathers (ops/trace.py
+        # materials.take, accel/bvh.py mat_idx reads) will ever load must
+        # be a real material row, and every chunk's triangle range must
+        # lie inside the flat triangle buffer. The device code relies on
+        # clamp conventions only, so a builder bug here would silently
+        # shade with the wrong material - fail loudly at build instead.
+        n_mats = len(mats)
+        assert smat.min() >= 0 and smat.max() < n_mats, (
+            f"sphere mat_idx out of range [0, {n_mats})"
+        )
+        assert tmat.min() >= 0 and tmat.max() < n_mats, (
+            f"triangle mat_idx out of range [0, {n_mats})"
+        )
+        assert all(0 <= m < n_mats for m in chunk_mat_idx), (
+            f"chunk mat_idx out of range [0, {n_mats})"
+        )
+        assert all(
+            0 <= f and f + n <= t_pad
+            for f, n in zip(chunk_first, chunk_count)
+        ), "chunk triangle range exceeds the flat triangle buffer"
+
         spheres = Spheres(center=centers, radius=radii, mat_idx=smat)
         triangles = _triangles_soa(pos, nrm, tmat)
 
