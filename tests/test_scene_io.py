@@ -180,3 +180,91 @@ def test_fbx_rotation_composition():
     additive = _euler_xyz_matrix((90.0, 90.0, 0.0))
     assert not np.allclose(rot, additive, atol=1e-3)
     assert np.allclose(t, [1, 2, 3]) and np.allclose(s, 2.0)
+
+
+def test_unity_nested_prefab_child_transforms(tmp_path):
+    """A RayTracedSphere on a prefab-instance CHILD must compose the
+    instance root TRS with the child's local transform inside the source
+    .prefab, with per-child modification overrides applied by target
+    fileID (VERDICT round-2 item 7: the old importer approximated every
+    stripped child by the root TRS)."""
+    from ray_tracing_extended_tpu.scene.unity import load_unity_scene
+
+    assets = tmp_path / "Assets"
+    assets.mkdir()
+    guid = "aaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaa"
+    (assets / "Nested.prefab").write_text(
+        """%YAML 1.1
+%TAG !u! tag:unity3d.com,2011:
+--- !u!1 &100000
+GameObject:
+  m_Name: Root
+--- !u!4 &400000
+Transform:
+  m_GameObject: {fileID: 100000}
+  m_LocalRotation: {x: 0, y: 0, z: 0, w: 1}
+  m_LocalPosition: {x: 0, y: 0, z: 0}
+  m_LocalScale: {x: 2, y: 2, z: 2}
+  m_Father: {fileID: 0}
+--- !u!1 &100001
+GameObject:
+  m_Name: Child
+--- !u!4 &400001
+Transform:
+  m_GameObject: {fileID: 100001}
+  m_LocalRotation: {x: 0, y: 0, z: 0, w: 1}
+  m_LocalPosition: {x: 1, y: 0, z: 0}
+  m_LocalScale: {x: 1, y: 1, z: 1}
+  m_Father: {fileID: 400000}
+"""
+    )
+    (assets / "Nested.prefab.meta").write_text(f"guid: {guid}\n")
+    scene_file = assets / "nested.unity"
+    scene_file.write_text(
+        f"""%YAML 1.1
+%TAG !u! tag:unity3d.com,2011:
+--- !u!1001 &100
+PrefabInstance:
+  m_Modification:
+    m_TransformParent: {{fileID: 0}}
+    m_Modifications:
+    - target: {{fileID: 400000, guid: {guid}, type: 3}}
+      propertyPath: m_LocalPosition.x
+      value: 5
+    - target: {{fileID: 400001, guid: {guid}, type: 3}}
+      propertyPath: m_LocalPosition.y
+      value: 2
+  m_SourcePrefab: {{fileID: 100100000, guid: {guid}, type: 3}}
+--- !u!1 &200 stripped
+GameObject:
+  m_CorrespondingSourceObject: {{fileID: 100001, guid: {guid}, type: 3}}
+  m_PrefabInstance: {{fileID: 100}}
+--- !u!114 &300
+MonoBehaviour:
+  m_GameObject: {{fileID: 200}}
+  m_Script: {{fileID: 11500000, guid: 52a9ac6d93ef8ff438ff410be33e635a, type: 3}}
+  material:
+    colour: {{r: 1, g: 0, b: 0, a: 1}}
+--- !u!1 &201 stripped
+GameObject:
+  m_CorrespondingSourceObject: {{fileID: 100000, guid: {guid}, type: 3}}
+  m_PrefabInstance: {{fileID: 100}}
+--- !u!114 &301
+MonoBehaviour:
+  m_GameObject: {{fileID: 201}}
+  m_Script: {{fileID: 11500000, guid: 52a9ac6d93ef8ff438ff410be33e635a, type: 3}}
+  material:
+    colour: {{r: 0, g: 1, b: 0, a: 1}}
+"""
+    )
+    scene, cam, cfg = load_unity_scene(scene_file)
+    centers = np.asarray(scene.spheres.center)
+    radii = np.asarray(scene.spheres.radius)
+    live = radii > 0
+    got = {tuple(np.round(c, 5)) for c in centers[live]}
+    # root sphere: modified root pos (5, 0, 0); radius = 2 * 0.5
+    # child sphere: root + rootScale * (childLocal with y override 2)
+    #   = (5,0,0) + 2*(1,2,0) = (7, 4, 0); world scale 2 -> radius 1
+    assert (5.0, 0.0, 0.0) in got, got
+    assert (7.0, 4.0, 0.0) in got, got
+    assert np.allclose(sorted(radii[live]), [1.0, 1.0])
