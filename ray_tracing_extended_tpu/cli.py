@@ -73,11 +73,52 @@ def _load_scene(spec: str, args):
     raise SystemExit(f"unrecognized scene spec: {spec}")
 
 
+def _parse_mesh(spec):
+    """'SPPxTILES' (e.g. '1x4', '2x4') -> jax.sharding.Mesh over the
+    available devices (the renderer's DP axes, parallel/sharding.py)."""
+    import jax
+
+    from .parallel.sharding import make_mesh
+
+    try:
+        spp_s, tiles_s = spec.lower().split("x")
+        spp_n, tiles_n = int(spp_s), int(tiles_s)
+    except ValueError:
+        raise SystemExit(
+            f"--mesh expects SPPxTILES (e.g. 1x4, 2x4), got {spec!r}"
+        )
+    need = spp_n * tiles_n
+    have = len(jax.devices())
+    if need > have:
+        raise SystemExit(
+            f"--mesh {spec} needs {need} devices, only {have} visible "
+            "(hint: XLA_FLAGS=--xla_force_host_platform_device_count=N "
+            "JAX_PLATFORMS=cpu simulates an N-chip mesh)"
+        )
+    return make_mesh(jax.devices()[:need], spp_parallel=spp_n)
+
+
 def cmd_render(args):
     from .progressive import render_progressive
     from .utils.metrics import MetricsLogger
 
     scene, cam, cfg = _load_scene(args.scene, args)
+    cameras = None
+    if args.flythrough:
+        # BASELINE config 5: circular dolly path with defocus (the
+        # per-frame OnRenderImage loop under camera motion,
+        # RayTracingManager.cs:49-93). The path is scene-independent but
+        # scaled for RTIOW-sized scenes (preset:rtiow).
+        from .models.presets import flythrough_cameras
+
+        _, cameras, fcfg = flythrough_cameras(
+            args.flythrough, width=cfg.width, height=cfg.height
+        )
+        if not args.spp:
+            cfg = dataclasses.replace(cfg, spp=fcfg.spp)
+        args.frames = args.flythrough
+        cam = cameras[0]
+    mesh = _parse_mesh(args.mesh) if args.mesh else None
     if cam is None:
         raise SystemExit("scene has no camera; pass a preset or add one")
     metrics = MetricsLogger(args.metrics, echo=args.verbose)
@@ -98,6 +139,8 @@ def cmd_render(args):
             checkpoint_every=args.checkpoint_every,
             resume=args.resume,
             metrics=metrics,
+            cameras=cameras,
+            mesh=mesh,
         )
     metrics.close()
     if args.out:
@@ -179,6 +222,14 @@ def main(argv=None):
     r = sub.add_parser("render", help="progressive render")
     add_scene_args(r)
     r.add_argument("--frames", type=int, default=1)
+    r.add_argument(
+        "--flythrough", type=int, default=0, metavar="N",
+        help="render an N-frame config-5 camera fly-through (circular "
+             "dolly with defocus; scaled for preset:rtiow)")
+    r.add_argument(
+        "--mesh", default=None, metavar="SPPxTILES",
+        help="multi-chip mesh, e.g. 1x4 (4 chips shard image bands) or "
+             "2x4 (8 chips: 2 frame seeds x 4 bands)")
     r.add_argument("--out", default=None)
     r.add_argument("--tone", default="none",
                    choices=["none", "reinhard", "aces"])

@@ -538,22 +538,22 @@ def _render_kernel(
             )
             return (tf >= 0.0) & (tn <= jnp.minimum(tf, best_t))
 
-        def fold_pair(g, valid, tq, clu_f, ci):
+        def fold_pair(g, valid, tq, clu_f, idx_w):
             """Fold a cluster's (SUB, 128) candidate block into row g's
             running best: a single f32 min on the bit-encode
             (bits(t) & ~31) | sub - ordering-equivalent to the i32 min
             for these never-NaN patterns - replaces a min + an argmin +
             a two-field fold (measured ~5% of the frame). In wide mode
-            the cluster index (``ci``, i32 scalar) is part of the encode;
-            otherwise the winning cluster's slot base (broadcast scalar
-            ``clu_f``) rides along under a strict-< mask."""
+            ``idx_w`` is the per-cluster (SUB, 128) index field
+            (cluster << 5) | sub, hoisted out of the row loop so the
+            encode is one AND + one OR per block; otherwise the winning
+            cluster's slot base (broadcast scalar ``clu_f``) rides along
+            under a strict-< mask."""
             if wide:
                 enc = jnp.where(
                     valid,
                     pltpu.bitcast(
-                        (pltpu.bitcast(tq, jnp.int32) & _WIDEN)
-                        | (ci << 5)
-                        | sub_iota_i,
+                        (pltpu.bitcast(tq, jnp.int32) & _WIDEN) | idx_w,
                         jnp.float32,
                     ),
                     _INF,
@@ -614,6 +614,7 @@ def _render_kernel(
                 # disc < 0 unconditionally - no r > 0 test needed here
                 r2c = cols[:, 4:5]
                 clu_f = (c * SUB).astype(jnp.float32)
+                idx_w = ((c << 5) | sub_iota_i) if wide else None
 
                 def row_visit(g):
                     ocx = ox[g : g + 1, :] - cx  # (SUB, 128)
@@ -630,7 +631,7 @@ def _render_kernel(
                     # discriminant and the behind-ray test (saves the
                     # max(), the second compare and the AND per block)
                     tq = -b - jnp.sqrt(b * b - cc)
-                    fold_pair(g, tq >= 0.0, tq, clu_f, c)
+                    fold_pair(g, tq >= 0.0, tq, clu_f, idx_w)
 
                 visit_rows(row_visit, mask)
 
@@ -683,6 +684,7 @@ def _render_kernel(
                 ex2, ey2, ez2 = cols[:, 6:7], cols[:, 7:8], cols[:, 8:9]
                 nx, ny, nz = cols[:, 9:10], cols[:, 10:11], cols[:, 11:12]
                 clu_f = ((nss + c) * SUB).astype(jnp.float32)
+                idx_w = (((nss + c) << 5) | sub_iota_i) if wide else None
 
                 def row_visit(g):
                     gdx = dx[g : g + 1, :]
@@ -711,7 +713,7 @@ def _render_kernel(
                     # tq, but ``hit`` is false there and fold_pair's
                     # where() discards the encode - saves the select
                     tq = t_det / det
-                    fold_pair(g, hit, tq, clu_f, nss + c)
+                    fold_pair(g, hit, tq, clu_f, idx_w)
 
                 visit_rows(row_visit, mask)
 

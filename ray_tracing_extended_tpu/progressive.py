@@ -35,6 +35,7 @@ def render_progressive(
     resume: bool = False,
     metrics: MetricsLogger | None = None,
     cameras=None,
+    mesh=None,
 ):
     """Accumulate ``frames`` frames and return the (H, W, 3) average.
 
@@ -43,7 +44,24 @@ def render_progressive(
     to the scene's radiance; with per-frame cameras each frame still folds
     with the reference weighting (matching its behavior when the camera
     moves - SURVEY.md section 3.4).
+
+    ``mesh``: optional jax.sharding.Mesh ('spp', 'tiles') - each frame
+    renders multi-chip via the sharded megakernel (horizontal bands over
+    'tiles', zero hot-loop collectives; 'spp' rows render extra frame
+    seeds merged by the one pmean - parallel/sharding.py). The band split
+    is bit-identical to single-chip mega renders of the same frame
+    indices. With spp_parallel > 1 each step folds spp_size
+    equally-weighted frames at once, which matches the reference
+    weighting exactly only without the per-frame clamp - HDR mode
+    (clamp_accumulate=False) is required then.
     """
+    if mesh is not None:
+        return _render_progressive_sharded(
+            scene, camera, cfg, frames, mesh,
+            checkpoint_path=checkpoint_path,
+            checkpoint_every=checkpoint_every,
+            resume=resume, metrics=metrics, cameras=cameras,
+        )
     start_frame = 0
     accum = jnp.zeros((cfg.height, cfg.width, 3), jnp.float32)
     fingerprint = None
@@ -116,6 +134,90 @@ def render_progressive(
             checkpoint_path,
             np.asarray(accum),
             start_frame + frames,
+            fingerprint,
+        )
+    return np.asarray(accum)
+
+
+def _render_progressive_sharded(
+    scene: Scene,
+    camera: Camera,
+    cfg: RenderConfig,
+    frames: int,
+    mesh,
+    checkpoint_path=None,
+    checkpoint_every: int = 0,
+    resume: bool = False,
+    metrics: MetricsLogger | None = None,
+    cameras=None,
+):
+    """Multi-chip progressive driver (BASELINE config 5 composition):
+    per step, one sharded megakernel launch renders ``spp_size`` frames'
+    samples (bands over 'tiles'; frame seeds over 'spp'), folded into the
+    running average with the reference weighting. Step s covers frame
+    indices [s * spp_size, (s + 1) * spp_size), and folding the step's
+    equal-weight sample mean with weight 1/(s+1) reproduces the flat
+    average over all frames rendered so far."""
+    from .parallel.sharding import render_frame_mega_sharded
+
+    spp_size = mesh.shape["spp"]
+    if spp_size > 1 and cfg.clamp_accumulate:
+        raise ValueError(
+            "spp-sharded progressive accumulation folds spp_size frames "
+            "per step, which is not bit-equal under the reference's "
+            "per-frame clamp; use HDR mode (clamp_accumulate=False) or "
+            "an spp=1 mesh"
+        )
+    start_step = 0
+    accum = jnp.zeros((cfg.height, cfg.width, 3), jnp.float32)
+    fingerprint = None
+    if checkpoint_path is not None:
+        fingerprint = ckpt.state_hash(
+            scene, cameras if cameras is not None else camera, cfg
+        )
+        if resume:
+            import os
+
+            if os.path.exists(checkpoint_path):
+                accum_np, start_step = ckpt.load(checkpoint_path, fingerprint)
+                accum = jnp.asarray(accum_np)
+    if cameras is not None and len(cameras) < start_step + frames:
+        raise ValueError(
+            f"cameras covers {len(cameras)} frames; rendering steps "
+            f"[{start_step}, {start_step + frames}) needs "
+            f"{start_step + frames}"
+        )
+
+    for s in range(start_step, start_step + frames):
+        cam = cameras[s] if cameras is not None else camera
+        t0 = time.perf_counter()
+        img, segs = render_frame_mega_sharded(
+            scene, cam, cfg, jnp.uint32(s * spp_size), mesh
+        )
+        accum = accumulate(accum, img, s, clamp=cfg.clamp_accumulate)
+        segs = int(segs)  # one host sync per step
+        wall = time.perf_counter() - t0
+        if metrics is not None:
+            metrics.log(
+                FrameMetrics(
+                    frame=s,
+                    wall_s=wall,
+                    rays=segs,
+                    pixels=cfg.num_pixels,
+                    spp=cfg.spp * spp_size,
+                    extra={"mesh": dict(mesh.shape)},
+                )
+            )
+        if (
+            checkpoint_path is not None
+            and checkpoint_every
+            and (s + 1) % checkpoint_every == 0
+        ):
+            ckpt.save(checkpoint_path, np.asarray(accum), s + 1, fingerprint)
+
+    if checkpoint_path is not None:
+        ckpt.save(
+            checkpoint_path, np.asarray(accum), start_step + frames,
             fingerprint,
         )
     return np.asarray(accum)

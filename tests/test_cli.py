@@ -70,3 +70,36 @@ def test_cli_unknown_preset_errors():
 
     with pytest.raises(SystemExit):
         main(["render", "--scene", "preset:nope"])
+
+
+def test_cli_flythrough_sharded(tmp_path):
+    """--flythrough N --mesh 1x2: the (downscaled) BASELINE config-5
+    command - an N-camera dolly path rendered band-sharded over the
+    virtual mesh, accumulated, exported (VERDICT round-2 item 3)."""
+    out = tmp_path / "fly.npy"
+    metrics = tmp_path / "fly.jsonl"
+    rc = main([
+        "render", "--scene", "preset:rtiow",
+        "--width", "64", "--height", "64",
+        "--flythrough", "2", "--mesh", "1x2",
+        "--out", str(out), "--metrics", str(metrics),
+    ])
+    assert rc == 0
+    img = np.load(out)
+    assert img.shape == (64, 64, 3) and not np.isnan(img).any()
+    lines = [json.loads(l) for l in metrics.read_text().splitlines()]
+    assert len(lines) == 2
+    assert lines[0]["mesh"] == {"spp": 1, "tiles": 2}
+
+
+def test_cli_mesh_arg_errors():
+    import pytest
+
+    with pytest.raises(SystemExit, match="SPPxTILES"):
+        main([
+            "render", "--scene", "preset:three_sphere", "--mesh", "bogus",
+        ])
+    with pytest.raises(SystemExit, match="devices"):
+        main([
+            "render", "--scene", "preset:three_sphere", "--mesh", "4x4",
+        ])
