@@ -134,6 +134,21 @@ def tile_size(packed, adaptive: bool = False) -> int:
     return 128 if adaptive else 96
 
 
+def pixels_per_lane(adaptive: bool = False) -> int:
+    """Multi-pixel lanes: each kernel lane traces this many pixels in
+    sequence (from vertically-separated tile halves), averaging the
+    pixel-intrinsic work imbalance that bounds parity-mode occupancy.
+    RTX_MEGA_PPL overrides; adaptive refill already reaches ~95%
+    occupancy, so the default is 1 there."""
+    env = _os.environ.get("RTX_MEGA_PPL")
+    if env:
+        v = int(env)
+        if v not in (1, 2, 4):
+            raise ValueError(f"RTX_MEGA_PPL must be 1, 2 or 4, got {env!r}")
+        return v
+    return 1
+
+
 # NEGATIVE RESULT (round 2, measured on the RTIOW 1080p headline): gating
 # row GROUPS inside a visited sub-cluster on jnp.any(mask[g0:g1]) loses at
 # every granularity - 9 rows: 399 ms, 12: 374, 18: 331, 24: 322 vs 312 ms
@@ -267,9 +282,10 @@ def _render_kernel(
     s_cr_ref, s_cg_ref, s_cb_ref,  # throughput (0 = lane dead)
     s_segs_ref,  # int32 live-segment counter (Mrays/s numerator)
     s_tr_ref, s_tg_ref, s_tb_ref,  # banked totals over completed samples
-    s_ns_ref,  # int32 completed-sample count (TOTAL across batched frames)
+    s_ns_ref,  # int32 completed-sample count (current pixel, all frames)
     s_bc_ref,  # int32 bounce index of the current sample
     s_fk_ref,  # int32 current frame index within the batch (0..n_frames-1)
+    s_ph_ref,  # int32 current pixel phase (0..ppl-1, multi-pixel lanes)
     oh_ref,  # (128, GB*128) f32: batched within-cluster one-hot operand
     bfet_ref,  # (n_fc*nf, GB*128) f32: batched fetch dot result
     ohw_ref,  # (SUB, ROWS*128) f32: winner-fetch one-hot (winner mode)
@@ -298,6 +314,7 @@ def _render_kernel(
     n_frames: int = 1,
     with_accum: bool = False,
     clamp_accum: bool = True,
+    ppl: int = 1,
     adaptive: bool = False,
     fast_scatter: bool = False,
     phases: int = 1,
@@ -311,14 +328,24 @@ def _render_kernel(
     pid = pl.program_id(0)
     TS = ts  # shadow: tile size is per-launch (see tile_size())
     ROWS = (ts * ts) // LANES
+    # Multi-pixel lanes (ppl > 1): each lane traces ``ppl`` pixels IN
+    # SEQUENCE (all of pixel A's batched frames, then pixel B's...), so
+    # the per-lane state shrinks to RS = ROWS/ppl rows while the output
+    # blocks keep all ROWS pixel rows - a lane's phase-p pixel is output
+    # row (p * RS + g). Pairing a lane's pixels from DIFFERENT tile
+    # halves averages pixel-intrinsic work imbalance (a sky lane and a
+    # sphere lane have persistently different path lengths), which is
+    # the parity-mode occupancy bound that K-frame batching cannot fix
+    # (measured: 56% -> 64% plateau, round 3).
+    RS = ROWS // ppl
     # Cull diagnostics ride the spare hist rows when stats are on and the
     # bounce histogram leaves at least 3 free: row hist_rows-1 counts
     # sphere sub-cluster visits (post-cull), -2 tri sub visits, -3 slot
     # iterations. Each count is +1 across a 128-lane row; consumers
     # normalise by 128 * n_tiles (tools/cull_stats.py).
     count_visits = collect_stats and hist_rows >= max_bounce + 4
-    sub_i = lax.broadcasted_iota(jnp.int32, (ROWS, LANES), 0)
-    lane = lax.broadcasted_iota(jnp.int32, (ROWS, LANES), 1)
+    sub_i = lax.broadcasted_iota(jnp.int32, (RS, LANES), 0)
+    lane = lax.broadcasted_iota(jnp.int32, (RS, LANES), 1)
     # Layout-anchored zeros: splat-constant loop-carry inits trigger a
     # Mosaic relayout bug ({0,0} -> {*,*} on scf yields); deriving them
     # from an iota pins a concrete layout.
@@ -339,24 +366,6 @@ def _render_kernel(
             dy * keep_f,
             dz * keep_f + np.float32(1e-9) * park_f,
         )
-    # Square-tile pixel mapping: pid -> (tile_x, tile_y); lane order is
-    # row-major inside the TS x TS tile. Edge tiles clamp to the image and
-    # re-render border pixels (cropped by the launcher).
-    n_tx = -(-width // TS)
-    t_x = pid % n_tx
-    t_y = pid // n_tx
-    local = sub_i * LANES + lane
-    x = jnp.minimum(t_x * TS + local % TS, width - 1)
-    # ip_ref[2] is the y offset of this device's horizontal band (0 on a
-    # single chip): tile rows are band-local, pixel seeds stay global.
-    y = jnp.minimum(ip_ref[2] + t_y * TS + local // TS, height - 1)
-    pix = y * width + x
-
-    frame = ip_ref[0]
-    # int32 multiply/add wrap identically to uint32; one array bitcast at
-    # the end (RayTracing.shader:358-362 seed layout).
-    seed = pltpu.bitcast(pix + frame * 719393, jnp.uint32)
-
     # camera params (fp layout documented in _run)
     cam0, cam1, cam2 = fp_ref[0], fp_ref[1], fp_ref[2]
     r00, r01, r02 = fp_ref[3], fp_ref[4], fp_ref[5]
@@ -371,14 +380,37 @@ def _render_kernel(
     sun_focus, sun_int = fp_ref[27], fp_ref[28]
     sd0, sd1, sd2 = fp_ref[29], fp_ref[30], fp_ref[31]
 
-    u = (x.astype(jnp.float32) + 0.5) * np.float32(1.0 / width)
-    v = (y.astype(jnp.float32) + 0.5) * np.float32(1.0 / height)
-    lx = (u - 0.5) * plane_w
-    ly = (v - 0.5) * plane_h
-    # focus point = cam + R @ (lx, ly, focus)   (RayTracing.shader:365-366)
-    fpx = cam0 + r00 * lx + r01 * ly + r02 * focus
-    fpy = cam1 + r10 * lx + r11 * ly + r12 * focus
-    fpz = cam2 + r20 * lx + r21 * ly + r22 * focus
+    # Square-tile pixel mapping: pid -> (tile_x, tile_y); lane order is
+    # row-major inside the TS x TS tile. Edge tiles clamp to the image and
+    # re-render border pixels (cropped by the launcher). With ppl > 1 a
+    # lane's phase-p pixel comes from output row (p * RS + sub_i) - tile
+    # halves vertically apart, so paired pixels are anti-correlated in
+    # intrinsic cost (sky rows pair with geometry rows).
+    n_tx = -(-width // TS)
+    t_x = pid % n_tx
+    t_y = pid // n_tx
+    pixs, fpxs, fpys, fpzs = [], [], [], []
+    for p in range(ppl):
+        local = (sub_i + p * RS) * LANES + lane
+        x = jnp.minimum(t_x * TS + local % TS, width - 1)
+        # ip_ref[2] is the y offset of this device's horizontal band (0
+        # on a single chip): tile rows are band-local, seeds stay global.
+        y = jnp.minimum(ip_ref[2] + t_y * TS + local // TS, height - 1)
+        pixs.append(y * width + x)
+        u = (x.astype(jnp.float32) + 0.5) * np.float32(1.0 / width)
+        v = (y.astype(jnp.float32) + 0.5) * np.float32(1.0 / height)
+        lx = (u - 0.5) * plane_w
+        ly = (v - 0.5) * plane_h
+        # focus point = cam + R @ (lx, ly, focus)  (RayTracing.shader:365)
+        fpxs.append(cam0 + r00 * lx + r01 * ly + r02 * focus)
+        fpys.append(cam1 + r10 * lx + r11 * ly + r12 * focus)
+        fpzs.append(cam2 + r20 * lx + r21 * ly + r22 * focus)
+    pix = pixs[0]
+
+    frame = ip_ref[0]
+    # int32 multiply/add wrap identically to uint32; one array bitcast at
+    # the end (RayTracing.shader:358-362 seed layout).
+    seed = pltpu.bitcast(pix + frame * 719393, jnp.uint32)
 
     # two-level fetch one-hot bases: within-slot-cluster (128 wide) and
     # across slot-clusters (n_slots/128 wide)
@@ -588,7 +620,7 @@ def _render_kernel(
             # flat row loop - see the NEGATIVE RESULT note at module top
             # on why intra-visit row(-group) gating loses
             del mask
-            for g in range(ROWS):
+            for g in range(RS):
                 row_visit(g)
 
         def sphere_cluster(ci, carry):
@@ -794,14 +826,14 @@ def _render_kernel(
             jnp.int32, (SUB, LANES), 0
         ).astype(jnp.float32)
         wacc1_ref[...] = lax.broadcasted_iota(
-            jnp.int32, (16, ROWS * LANES), 1
+            jnp.int32, (16, RS * LANES), 1
         ).astype(jnp.float32) * 0.0
         wacc2_ref[...] = lax.broadcasted_iota(
-            jnp.int32, (wacc2_ref.shape[0], ROWS * LANES), 1
+            jnp.int32, (wacc2_ref.shape[0], RS * LANES), 1
         ).astype(jnp.float32) * 0.0
 
         def visit_sub(cols_ref, attr_ref, c, base_f):
-            for g in range(ROWS):
+            for g in range(RS):
                 ohw_ref[:, g * LANES : (g + 1) * LANES] = (
                     (best_clu[g : g + 1, :] == base_f)
                     & (sub_f == best_sub[g : g + 1, :])
@@ -894,7 +926,7 @@ def _render_kernel(
             return jnp.concatenate(
                 [
                     ref[i : i + 1, g * LANES : (g + 1) * LANES]
-                    for g in range(ROWS)
+                    for g in range(RS)
                 ],
                 axis=0,
             )
@@ -916,7 +948,7 @@ def _render_kernel(
         ~30% MXU utilization (measured ~half the frame). The n_slots/128
         cluster blocks are then combined per row with masked adds."""
         rows = []
-        for g0 in range(0, ROWS, gb):
+        for g0 in range(0, RS, gb):
             ccs = []
             for j in range(gb):
                 codeg = code[g0 + j : g0 + j + 1, :]
@@ -946,7 +978,7 @@ def _render_kernel(
         def field(name):
             i = fidx[name]
             return jnp.concatenate(
-                [rows[g][i : i + 1, :] for g in range(ROWS)], axis=0
+                [rows[g][i : i + 1, :] for g in range(RS)], axis=0
             )
 
         return field
@@ -1255,22 +1287,67 @@ def _render_kernel(
     s_ns_ref[...] = zero_i
     s_bc_ref[...] = zero_i
     s_fk_ref[...] = zero_i
+    s_ph_ref[...] = zero_i
     if with_accum:
         # running average carried per-lane; input blocks hold the
         # caller's accumulator (frame 0's weight is 1, so stale content
         # is discarded exactly like ops/accumulate.py)
-        acc_r = acc_r_ref[...]
-        acc_g = acc_g_ref[...]
-        acc_b = acc_b_ref[...]
-        out_r_ref[...] = acc_r + zero_f
-        out_g_ref[...] = acc_g + zero_f
-        out_b_ref[...] = acc_b + zero_f
-    # total sample quota across the frame batch; a lane advances to its
-    # next frame (fresh reference seed pix + frame*719393) the moment its
-    # current frame's spp quota completes - idle-lane occupancy is the
-    # parity-mode bottleneck (58% measured round 2), and batching frames
-    # amortises the per-tile max-lane slot bound over K frames of work
+        out_r_ref[...] = acc_r_ref[...]
+        out_g_ref[...] = acc_g_ref[...]
+        out_b_ref[...] = acc_b_ref[...]
+    elif ppl > 1:
+        # piecewise half-banking folds with prior content via where();
+        # clear the uninitialized output blocks first
+        zero_out = lax.broadcasted_iota(
+            jnp.int32, (ROWS, LANES), 1
+        ).astype(jnp.float32) * 0.0
+        out_r_ref[...] = zero_out
+        out_g_ref[...] = zero_out
+        out_b_ref[...] = zero_out
+    # per-PIXEL sample quota across the frame batch; a lane advances to
+    # its next frame (fresh reference seed pix + frame*719393) the moment
+    # its current frame's spp quota completes, and to its next PIXEL
+    # (ppl > 1) when all n_frames quotas of the current one are done -
+    # idle-lane occupancy is the parity-mode bottleneck (58% measured
+    # round 2; K-batching lifts it to 64%, pixel multiplexing beyond)
     quota = n_frames * spp
+
+    def bank_out(mask, ph, vr, vg, vb, w):
+        """Bank per-lane (RS, 128) pixel results into the output halves
+        selected by each lane's phase: half h rows [h*RS, (h+1)*RS) hold
+        phase-h pixels. ``w``: per-lane accumulate weight ((RS, 128) or
+        scalar; None = plain write for the non-accum path). Unselected
+        lanes keep the half's previous content (each lane writes each of
+        its halves exactly once, so every output row is covered by the
+        time the slot bound drains)."""
+        for h in range(ppl):
+            mh = mask if ppl == 1 else mask & (ph == h)
+            sl = slice(h * RS, (h + 1) * RS)
+            for ref, v in (
+                (out_r_ref, vr), (out_g_ref, vg), (out_b_ref, vb)
+            ):
+                old = ref[sl, :]
+                if w is None:
+                    new = v
+                else:
+                    new = old * (1.0 - w) + v * w
+                    if clamp_accum:
+                        new = jnp.clip(new, 0.0, 1.0)
+                # where-select, NOT an arithmetic blend: unselected
+                # entries may be uninitialized output memory, and
+                # NaN * 0 would poison them
+                ref[sl, :] = jnp.where(mh, new, old)
+
+    def bank_segs(mask, ph):
+        """Write banked lanes' segment counters to their phase half and
+        reset them (per-pixel attribution keeps edge-tile crops exact)."""
+        for h in range(ppl):
+            mh = mask if ppl == 1 else mask & (ph == h)
+            sl = slice(h * RS, (h + 1) * RS)
+            out_segs_ref[sl, :] = jnp.where(
+                mh, s_segs_ref[...], out_segs_ref[sl, :]
+            )
+        s_segs_ref[...] = jnp.where(mask, zero_i, s_segs_ref[...])
 
     out_hist_ref[...] = lax.broadcasted_iota(
         jnp.int32, (hist_rows, LANES), 1
@@ -1290,8 +1367,14 @@ def _render_kernel(
         # bounce-0 rays. Waiting lanes pass through untouched (their
         # intersect inputs are parked and all updates are part-masked).
         is_primary = (slot_i % 2) == 0 if phases == 2 else True
+        # undone: this lane still owes quota samples (for its current
+        # pixel, or for later pixels when ppl > 1)
+        if ppl > 1:
+            undone = (ns < quota) | (s_ph_ref[...] < (ppl - 1))
+        else:
+            undone = ns < quota
 
-        @pl.when(jnp.any(live0 | (ns < quota)))
+        @pl.when(jnp.any(live0 | undone))
         def _():
             if count_visits:
                 r = hist_rows - 3
@@ -1299,14 +1382,15 @@ def _render_kernel(
             if adaptive:
                 # sample refill (cfg.adaptive_spp): lanes past their total
                 # quota start EXTRA samples (continuing the LAST batched
-                # frame's stream) while any tile lane is still below it.
-                # Refill stops the moment the slowest lane reaches quota,
-                # so the loop drains within one path length; the slot
-                # bound still guarantees every lane banks >= spp per frame
-                # (a lane only overflows AFTER completing its quota).
-                need = (~live0) & ((ns < quota) | jnp.any(ns < quota))
+                # frame's stream of their LAST pixel) while any tile lane
+                # is still below it. Refill stops the moment the slowest
+                # lane reaches quota, so the loop drains within one path
+                # length; the slot bound still guarantees every lane
+                # banks >= spp per frame (a lane only overflows AFTER
+                # completing its quota).
+                need = (~live0) & (undone | jnp.any(undone))
             else:
-                need = (~live0) & (ns < quota)
+                need = (~live0) & undone
 
             if phases == 2:
                 # fresh lanes only trace (and re-seed) on primary slots
@@ -1322,6 +1406,37 @@ def _render_kernel(
             @pl.when(jnp.any(need))
             def _():
                 state = s_st_ref[...]
+                ns2 = ns
+                inv_spp = np.float32(1.0 / spp)
+                if ppl > 1:
+                    # ---- pixel switch (multi-pixel lanes) ----
+                    # A lane that finished ALL batched frames of its
+                    # current pixel banks that pixel's last frame (and
+                    # its segment count) into the pixel's output half,
+                    # then moves to its next pixel with everything reset.
+                    ph = s_ph_ref[...]
+                    sw = need & (ns >= quota) & (ph < (ppl - 1))
+                    wl = (
+                        (zero_f + fp_ref[_W0 + n_frames - 1])
+                        if with_accum
+                        else None
+                    )
+                    bank_out(
+                        sw, ph,
+                        s_tr_ref[...] * inv_spp,
+                        s_tg_ref[...] * inv_spp,
+                        s_tb_ref[...] * inv_spp, wl,
+                    )
+                    bank_segs(sw, ph)
+                    swf = jnp.where(sw, zero_f + 1.0, zero_f)
+                    ksw = 1.0 - swf
+                    s_tr_ref[...] = s_tr_ref[...] * ksw
+                    s_tg_ref[...] = s_tg_ref[...] * ksw
+                    s_tb_ref[...] = s_tb_ref[...] * ksw
+                    ns2 = jnp.where(sw, zero_i, ns)
+                    s_ns_ref[...] = ns2
+                    s_fk_ref[...] = jnp.where(sw, zero_i, s_fk_ref[...])
+                    s_ph_ref[...] = ph + jnp.where(sw, zero_i + 1, zero_i)
                 if n_frames > 1:
                     # ---- frame advance (K-frame batching) ----
                     # A lane whose current frame's spp quota just
@@ -1333,7 +1448,7 @@ def _render_kernel(
                     # same XLA divide (fp_ref tail) so sequential
                     # accumulation and the batched fold are bit-identical.
                     fk = s_fk_ref[...]
-                    nsf = ns - fk * spp
+                    nsf = ns2 - fk * spp
                     fdone = need & (nsf >= spp) & (fk < (n_frames - 1))
                     fd = jnp.where(fdone, zero_f + 1.0, zero_f)
                     kfd = 1.0 - fd
@@ -1342,35 +1457,36 @@ def _render_kernel(
                         w = w + jnp.where(
                             fk == k, zero_f + fp_ref[_W0 + k], zero_f
                         )
-                    inv_spp = np.float32(1.0 / spp)
-                    ar = out_r_ref[...] * (1.0 - w) + (
-                        s_tr_ref[...] * inv_spp
-                    ) * w
-                    ag = out_g_ref[...] * (1.0 - w) + (
-                        s_tg_ref[...] * inv_spp
-                    ) * w
-                    ab = out_b_ref[...] * (1.0 - w) + (
-                        s_tb_ref[...] * inv_spp
-                    ) * w
-                    if clamp_accum:
-                        ar = jnp.clip(ar, 0.0, 1.0)
-                        ag = jnp.clip(ag, 0.0, 1.0)
-                        ab = jnp.clip(ab, 0.0, 1.0)
-                    out_r_ref[...] = ar * fd + out_r_ref[...] * kfd
-                    out_g_ref[...] = ag * fd + out_g_ref[...] * kfd
-                    out_b_ref[...] = ab * fd + out_b_ref[...] * kfd
+                    bank_out(
+                        fdone,
+                        s_ph_ref[...] if ppl > 1 else None,
+                        s_tr_ref[...] * inv_spp,
+                        s_tg_ref[...] * inv_spp,
+                        s_tb_ref[...] * inv_spp, w,
+                    )
                     s_tr_ref[...] = s_tr_ref[...] * kfd
                     s_tg_ref[...] = s_tg_ref[...] * kfd
                     s_tb_ref[...] = s_tb_ref[...] * kfd
-                    fk2 = fk + jnp.where(fdone, zero_i + 1, zero_i)
-                    s_fk_ref[...] = fk2
+                    s_fk_ref[...] = fk + jnp.where(fdone, zero_i + 1, zero_i)
+                if n_frames > 1 or ppl > 1:
                     # fresh reference seed for a lane's first sample of a
-                    # new frame: pix + frame*719393 (RayTracing.shader:
-                    # 358-362) - frames are independently seeded, which is
-                    # exactly what makes cross-frame batching bit-exact
-                    fresh = need & ((ns - fk2 * spp) == 0)
+                    # new frame or pixel: pix + frame*719393
+                    # (RayTracing.shader:358-362) - frames and pixels are
+                    # independently seeded, which is exactly what makes
+                    # cross-frame/pixel batching bit-exact
+                    fk2 = s_fk_ref[...]
+                    if ppl > 1:
+                        ph2 = s_ph_ref[...]
+                        pix_cur = zero_i
+                        for p in range(ppl):
+                            pix_cur = pix_cur + pixs[p] * jnp.where(
+                                ph2 == p, zero_i + 1, zero_i
+                            )
+                    else:
+                        pix_cur = pix
+                    fresh = need & ((s_ns_ref[...] - fk2 * spp) == 0)
                     seed_k = pltpu.bitcast(
-                        pix + (frame + fk2) * 719393, jnp.uint32
+                        pix_cur + (frame + fk2) * 719393, jnp.uint32
                     )
                     fsel = pltpu.bitcast(
                         jnp.where(fresh, zero_i + 1, zero_i), jnp.uint32
@@ -1387,6 +1503,17 @@ def _render_kernel(
                 st2, jx, jy = _rand_circle(st2)
                 jx = jx * diverge_w
                 jy = jy * diverge_w
+                if ppl > 1:
+                    # focus point of each lane's CURRENT pixel
+                    ph3 = s_ph_ref[...]
+                    fpx = fpy = fpz = zero_f
+                    for p in range(ppl):
+                        pf = jnp.where(ph3 == p, zero_f + 1.0, zero_f)
+                        fpx = fpx + fpxs[p] * pf
+                        fpy = fpy + fpys[p] * pf
+                        fpz = fpz + fpzs[p] * pf
+                else:
+                    fpx, fpy, fpz = fpxs[0], fpys[0], fpzs[0]
                 tx = fpx + r00 * jx + r01 * jy
                 ty = fpy + r10 * jx + r11 * jy
                 tz = fpz + r20 * jx + r21 * jy
@@ -1502,7 +1629,9 @@ def _render_kernel(
                 s_ir_ref[...] = inc_r * kf
                 s_ig_ref[...] = inc_g * kf
                 s_ib_ref[...] = inc_b * kf
-                s_ns_ref[...] = ns + jnp.where(died, zero_i + 1, zero_i)
+                s_ns_ref[...] = s_ns_ref[...] + jnp.where(
+                    died, zero_i + 1, zero_i
+                )
 
             # ---- lean path: EVERY lane missed (sky tiles, drained tails)
             # - no scatter draws happen (parity: the reference only draws
@@ -1526,7 +1655,9 @@ def _render_kernel(
                 s_ir_ref[...] = inc_r * kf
                 s_ig_ref[...] = inc_g * kf
                 s_ib_ref[...] = inc_b * kf
-                s_ns_ref[...] = ns + jnp.where(part, zero_i + 1, zero_i)
+                s_ns_ref[...] = s_ns_ref[...] + jnp.where(
+                    part, zero_i + 1, zero_i
+                )
                 # participants terminated on the environment: zero + park
                 # them; waiting lanes (phase-split) blend through
                 s_cr_ref[...] = s_cr_ref[...] * kf
@@ -1539,38 +1670,38 @@ def _render_kernel(
 
         return carry
 
-    lax.fori_loop(0, n_frames * spp * (max_bounce + 1) * phases, slot_body,
-                  jnp.int32(0))
+    lax.fori_loop(
+        0, ppl * n_frames * spp * (max_bounce + 1) * phases, slot_body,
+        jnp.int32(0),
+    )
 
     if adaptive:
         # per-pixel mean over the samples that actually completed in the
         # LAST batched frame (>= spp; every lane reaches its quota within
-        # the slot bound; refill extras all land in the last frame)
+        # the slot bound; refill extras all land in the last frame of the
+        # lane's last pixel)
         nsf_last = s_ns_ref[...] - (n_frames - 1) * spp
         inv_n = 1.0 / jnp.maximum(
             nsf_last.astype(jnp.float32), np.float32(1.0)
         )
     else:
         inv_n = np.float32(1.0 / spp)
-    if with_accum:
-        # fold the final batched frame (frames 0..n_frames-2 folded at
-        # their completion inside the scheduler)
-        wl = fp_ref[_W0 + n_frames - 1]
-        ar = out_r_ref[...] * (1.0 - wl) + (s_tr_ref[...] * inv_n) * wl
-        ag = out_g_ref[...] * (1.0 - wl) + (s_tg_ref[...] * inv_n) * wl
-        ab = out_b_ref[...] * (1.0 - wl) + (s_tb_ref[...] * inv_n) * wl
-        if clamp_accum:
-            ar = jnp.clip(ar, 0.0, 1.0)
-            ag = jnp.clip(ag, 0.0, 1.0)
-            ab = jnp.clip(ab, 0.0, 1.0)
-        out_r_ref[:] = ar
-        out_g_ref[:] = ag
-        out_b_ref[:] = ab
+    # bank the final pixel's final frame (earlier frames folded at their
+    # completion; earlier pixels banked at their switch). Every lane sits
+    # at phase ppl-1 here - the slot bound covers all pixels' quotas.
+    all_lanes = zero_i < 1
+    ph_end = s_ph_ref[...] if ppl > 1 else None
+    wl = (zero_f + fp_ref[_W0 + n_frames - 1]) if with_accum else None
+    bank_out(
+        all_lanes, ph_end,
+        s_tr_ref[...] * inv_n,
+        s_tg_ref[...] * inv_n,
+        s_tb_ref[...] * inv_n, wl,
+    )
+    if ppl > 1:
+        bank_segs(all_lanes, ph_end)
     else:
-        out_r_ref[:] = s_tr_ref[...] * inv_n
-        out_g_ref[:] = s_tg_ref[...] * inv_n
-        out_b_ref[:] = s_tb_ref[...] * inv_n
-    out_segs_ref[:] = s_segs_ref[...]
+        out_segs_ref[:] = s_segs_ref[...]
 
 
 # ------------------------------- launcher -----------------------------------
@@ -1579,7 +1710,7 @@ def _render_kernel(
 # number of (ROWS, LANES) per-lane state scratch buffers the kernel
 # allocates (best enc/clu, rng, ray state, light/throughput, counters -
 # keep in sync with _render_frame_mega_ts's scratch_shapes)
-_N_LANE_STATE = 22
+_N_LANE_STATE = 23
 _VMEM_BUDGET = 15 * 1024 * 1024  # ~16 MB/core minus compiler headroom
 
 
@@ -1696,6 +1827,7 @@ def render_frame_mega(
         tile_size(scene.packed, cfg.adaptive_spp), n_phases(), interpret,
         use_cull, stub_fetch, stub_intersect, dup_intersect, dup_fetch,
         y0, band_height, collect_stats,
+        None, 1, pixels_per_lane(cfg.adaptive_spp),
     )
 
 
@@ -1736,10 +1868,11 @@ def render_frames_mega(
         tile_size(scene.packed, cfg.adaptive_spp), n_phases(), interpret,
         True, False, False, False, False,
         y0, band_height, False, accum, n_frames,
+        pixels_per_lane(cfg.adaptive_spp),
     )
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "ts", "phases", "interpret", "use_cull", "stub_fetch", "stub_intersect", "dup_intersect", "dup_fetch", "band_height", "collect_stats", "n_frames"))
+@functools.partial(jax.jit, static_argnames=("cfg", "ts", "phases", "interpret", "use_cull", "stub_fetch", "stub_intersect", "dup_intersect", "dup_fetch", "band_height", "collect_stats", "n_frames", "ppl"))
 def _render_frame_mega_ts(
     scene: Scene,
     camera,
@@ -1758,6 +1891,7 @@ def _render_frame_mega_ts(
     collect_stats: bool = False,
     accum=None,
     n_frames: int = 1,
+    ppl: int = 1,
 ):
     import math as _math
 
@@ -1768,6 +1902,10 @@ def _render_frame_mega_ts(
     p = scene.packed
     TS = ts
     ROWS = (TS * TS) // LANES
+    if ROWS % ppl != 0:
+        raise ValueError(
+            f"pixels-per-lane {ppl} must divide the tile's {ROWS} rows"
+        )
     n_pix = cfg.num_pixels
     n_tx = -(-cfg.width // TS)
     # band rendering: this launch covers rows [y0, y0 + band_height)
@@ -1859,7 +1997,8 @@ def _render_frame_mega_ts(
     # token size (gb = 1).
     n_fc_l = p.fetch_tab.shape[1] // 128
     nf_l = p.fetch_tab2.shape[0] // n_fc_l
-    gb = 1 if p.fetch_mode == "winner" else ROWS
+    RS = ROWS // ppl  # per-lane state rows (multi-pixel lanes)
+    gb = 1 if p.fetch_mode == "winner" else RS
     while gb > 1 and n_fc_l * nf_l * gb * LANES * 4 > 4 * 1024 * 1024:
         gb //= 2
     nwf = p.sph_attr.shape[-1]
@@ -1874,6 +2013,7 @@ def _render_frame_mega_ts(
         n_frames=n_frames,
         with_accum=with_accum,
         clamp_accum=cfg.clamp_accumulate,
+        ppl=ppl,
         adaptive=cfg.adaptive_spp,
         fast_scatter=cfg.fast_scatter,
         phases=phases,
@@ -1959,30 +2099,31 @@ def _render_frame_mega_ts(
             ),
         ],
         scratch_shapes=[
-            pltpu.VMEM((ROWS, LANES), jnp.float32),  # best enc (t | sub)
-            pltpu.VMEM((ROWS, LANES), jnp.float32),  # best cluster base
-            pltpu.VMEM((ROWS, LANES), jnp.uint32),  # rng state
-        ] + [pltpu.VMEM((ROWS, LANES), jnp.float32)] * 12 + [
-            pltpu.VMEM((ROWS, LANES), jnp.int32),  # segs
-        ] + [pltpu.VMEM((ROWS, LANES), jnp.float32)] * 3 + [
-            pltpu.VMEM((ROWS, LANES), jnp.int32),  # samples done
-            pltpu.VMEM((ROWS, LANES), jnp.int32),  # bounce index
-            pltpu.VMEM((ROWS, LANES), jnp.int32),  # batch frame index
+            pltpu.VMEM((RS, LANES), jnp.float32),  # best enc (t | sub)
+            pltpu.VMEM((RS, LANES), jnp.float32),  # best cluster base
+            pltpu.VMEM((RS, LANES), jnp.uint32),  # rng state
+        ] + [pltpu.VMEM((RS, LANES), jnp.float32)] * 12 + [
+            pltpu.VMEM((RS, LANES), jnp.int32),  # segs
+        ] + [pltpu.VMEM((RS, LANES), jnp.float32)] * 3 + [
+            pltpu.VMEM((RS, LANES), jnp.int32),  # samples done
+            pltpu.VMEM((RS, LANES), jnp.int32),  # bounce index
+            pltpu.VMEM((RS, LANES), jnp.int32),  # batch frame index
+            pltpu.VMEM((RS, LANES), jnp.int32),  # pixel phase (ppl)
             pltpu.VMEM((128, gb * LANES), jnp.float32),  # one-hot batch
             pltpu.VMEM(
                 (n_fc_l * nf_l, gb * LANES), jnp.float32
             ),  # fetch dot result
             # winner-fetch scratch (token-sized in onehot mode)
             pltpu.VMEM(
-                (SUB, (ROWS if p.fetch_mode == "winner" else 1) * LANES),
+                (SUB, (RS if p.fetch_mode == "winner" else 1) * LANES),
                 jnp.float32,
             ),  # winner one-hot
             pltpu.VMEM(
-                (16, (ROWS if p.fetch_mode == "winner" else 1) * LANES),
+                (16, (RS if p.fetch_mode == "winner" else 1) * LANES),
                 jnp.float32,
             ),  # winner geometry acc
             pltpu.VMEM(
-                (nwf, (ROWS if p.fetch_mode == "winner" else 1) * LANES),
+                (nwf, (RS if p.fetch_mode == "winner" else 1) * LANES),
                 jnp.float32,
             ),  # winner attr acc
         ],
