@@ -42,7 +42,7 @@ import time
 import numpy as np
 
 BASELINE_MRAYS = 500.0  # BASELINE.md target for TPU v5e
-PARITY_BATCH = 8  # frames per launch on the batched parity path
+PARITY_BATCH = 16  # frames per launch on the batched parity path
 
 
 def _gate_mosaic_vs_interpret(img_hw, img_int):

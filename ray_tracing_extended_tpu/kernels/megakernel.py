@@ -111,7 +111,7 @@ def n_phases() -> int:
     return 1
 
 
-def tile_size(packed, adaptive: bool = False) -> int:
+def tile_size(packed, adaptive: bool = False, batched: bool = False) -> int:
     env = _os.environ.get("RTX_MEGA_TS")
     if env:
         ts = int(env)
@@ -127,26 +127,31 @@ def tile_size(packed, adaptive: bool = False) -> int:
         return ts
     if packed.fetch_mode != "onehot":
         return 64
-    # measured on the RTIOW 1080p headline: fixed-spp optimum is 96
-    # (312 ms vs 318 @ 64, 322 @ 128); with adaptive refill the optimum
-    # shifts to 128 (253 Mrays/s vs 245 @ 96) - bigger tiles amortise the
-    # slowest-lane quota across more refill work
-    return 128 if adaptive else 96
+    # measured on the RTIOW 1080p headline: single-frame fixed-spp
+    # optimum is 96 (312 ms vs 318 @ 64, 322 @ 128); with adaptive
+    # refill the optimum shifts to 128 (253 Mrays/s vs 245 @ 96), and
+    # K-frame-batched parity also prefers 128 with ppl=2 multiplexing
+    # (230 vs 212 @ 96, round 3) - bigger tiles amortise the
+    # slowest-lane quota across more work per lane
+    return 128 if (adaptive or batched) else 96
 
 
-def pixels_per_lane(adaptive: bool = False) -> int:
+def pixels_per_lane(adaptive: bool = False, batched: bool = False) -> int:
     """Multi-pixel lanes: each kernel lane traces this many pixels in
     sequence (from vertically-separated tile halves), averaging the
     pixel-intrinsic work imbalance that bounds parity-mode occupancy.
-    RTX_MEGA_PPL overrides; adaptive refill already reaches ~95%
-    occupancy, so the default is 1 there."""
+    RTX_MEGA_PPL overrides. Defaults (measured, RTIOW 1080p round 3):
+    2 for K-frame-batched exact-spp renders (parity 194 -> 230 Mrays/s
+    with K=16/TS=128); 1 for adaptive refill (~95% occupancy already;
+    ppl=2 measured 255 vs 281) and for single-frame renders (switch +
+    drain overhead cancels the gain at 16 samples/pixel)."""
     env = _os.environ.get("RTX_MEGA_PPL")
     if env:
         v = int(env)
         if v not in (1, 2, 4):
             raise ValueError(f"RTX_MEGA_PPL must be 1, 2 or 4, got {env!r}")
         return v
-    return 1
+    return 2 if (batched and not adaptive) else 1
 
 
 # NEGATIVE RESULT (round 2, measured on the RTIOW 1080p headline): gating
@@ -1865,10 +1870,11 @@ def render_frames_mega(
     """
     return _render_frame_mega_ts(
         scene, camera, cfg, frame0,
-        tile_size(scene.packed, cfg.adaptive_spp), n_phases(), interpret,
+        tile_size(scene.packed, cfg.adaptive_spp, batched=n_frames > 1),
+        n_phases(), interpret,
         True, False, False, False, False,
         y0, band_height, False, accum, n_frames,
-        pixels_per_lane(cfg.adaptive_spp),
+        pixels_per_lane(cfg.adaptive_spp, batched=n_frames > 1),
     )
 
 
