@@ -42,7 +42,10 @@ import time
 import numpy as np
 
 BASELINE_MRAYS = 500.0  # BASELINE.md target for TPU v5e
-PARITY_BATCH = 16  # frames per launch on the batched parity path
+# frames per launch on the batched parity path (K=32 measured optimum
+# with cost-paired lanes: 263.6 vs 256.5 @ K=16; K=64 adds only +1.6%
+# for twice the launch latency)
+PARITY_BATCH = 32
 
 
 def _gate_mosaic_vs_interpret(img_hw, img_int):
@@ -222,10 +225,18 @@ def main():
             frame["i"] += 1
         return total
 
+    # cost-guided lane pairing: the warmup launch's per-pixel segment map
+    # seeds the timed launches' pairing, and each timed launch re-chains
+    # its own map - exactly the production progressive loop
+    # (render_progressive(batch=...)). Output is bit-identical to the
+    # unpaired launch; only the lane schedule changes.
+    cmap = {"m": None}
+
     def run_parity_batched():
         acc = jnp.zeros((cfg.height, cfg.width, 3), jnp.float32)
-        acc, segs = render_frames_and_accumulate(
-            scene, camera, cfg, acc, jnp.uint32(frame["i"]), PARITY_BATCH
+        acc, segs, cmap["m"] = render_frames_and_accumulate(
+            scene, camera, cfg, acc, jnp.uint32(frame["i"]), PARITY_BATCH,
+            pair_costs=cmap["m"], segs_map=True,
         )
         frame["i"] += PARITY_BATCH
         return segs
@@ -242,7 +253,8 @@ def main():
 
     int(run_adaptive())  # compile + warm
     runs = _measure(run_adaptive, n_runs)
-    int(run_parity_batched())
+    int(run_parity_batched())  # compile the unpaired launch + cost map
+    int(run_parity_batched())  # compile the cost-paired variant
     parity_runs = _measure(run_parity_batched, 3)
     int(run_parity_single())
     parity_single = _measure(run_parity_single, 2)
@@ -271,7 +283,7 @@ def main():
         "parity_mrays": round(parity_best["mrays"], 2),
         "parity_mode": (
             f"render_frames_and_accumulate, {PARITY_BATCH} frames/launch, "
-            "exact spp + reference draw order"
+            "cost-paired lanes, exact spp + reference draw order"
         ),
         "parity_frame_ms": round(
             parity_best["wall_s"] / PARITY_BATCH * 1000, 1

@@ -111,7 +111,12 @@ def n_phases() -> int:
     return 1
 
 
-def tile_size(packed, adaptive: bool = False, batched: bool = False) -> int:
+def tile_size(
+    packed,
+    adaptive: bool = False,
+    batched: bool = False,
+    paired: bool = False,
+) -> int:
     env = _os.environ.get("RTX_MEGA_TS")
     if env:
         ts = int(env)
@@ -130,27 +135,40 @@ def tile_size(packed, adaptive: bool = False, batched: bool = False) -> int:
     # measured on the RTIOW 1080p headline: single-frame fixed-spp
     # optimum is 96 (312 ms vs 318 @ 64, 322 @ 128); with adaptive
     # refill the optimum shifts to 128 (253 Mrays/s vs 245 @ 96), and
-    # K-frame-batched parity also prefers 128 with ppl=2 multiplexing
-    # (230 vs 212 @ 96, round 3) - bigger tiles amortise the
-    # slowest-lane quota across more work per lane
+    # K-frame-batched parity prefers 128 with ppl=2 multiplexing
+    # (230 vs 212 @ 96, round 3). With COST-PAIRED lanes the optimum
+    # moves again to 192 x ppl=4 (263.6 Mrays/s at K=32 vs 243 @ 128x2;
+    # 224 loses cull locality: 247) - pairing needs a deep per-lane
+    # pixel queue and a big in-tile pool to equalise against.
+    if paired and batched and not adaptive:
+        return 192
     return 128 if (adaptive or batched) else 96
 
 
-def pixels_per_lane(adaptive: bool = False, batched: bool = False) -> int:
+def pixels_per_lane(
+    adaptive: bool = False, batched: bool = False, paired: bool = False
+) -> int:
     """Multi-pixel lanes: each kernel lane traces this many pixels in
-    sequence (from vertically-separated tile halves), averaging the
-    pixel-intrinsic work imbalance that bounds parity-mode occupancy.
-    RTX_MEGA_PPL overrides. Defaults (measured, RTIOW 1080p round 3):
-    2 for K-frame-batched exact-spp renders (parity 194 -> 230 Mrays/s
-    with K=16/TS=128); 1 for adaptive refill (~95% occupancy already;
-    ppl=2 measured 255 vs 281) and for single-frame renders (switch +
-    drain overhead cancels the gain at 16 samples/pixel)."""
+    sequence, averaging the pixel-intrinsic work imbalance that bounds
+    parity-mode occupancy. Pixels pair from vertically-separated tile
+    halves by default, or by measured cost when the launch carries a
+    ``pair_costs`` map (``paired``). RTX_MEGA_PPL overrides. Defaults
+    (measured, RTIOW 1080p round 3): 4 for cost-paired batched renders
+    (TS=192, 263.6 Mrays/s at K=32; ppl=8 drops to 244 - too few state
+    rows); 2 for blind K-frame-batched exact-spp renders (parity 194 ->
+    230 Mrays/s with K=16/TS=128); 1 for adaptive refill (~95% occupancy
+    already; ppl=2 measured 255 vs 281) and for single-frame renders
+    (switch + drain overhead cancels the gain at 16 samples/pixel)."""
     env = _os.environ.get("RTX_MEGA_PPL")
     if env:
         v = int(env)
-        if v not in (1, 2, 4):
-            raise ValueError(f"RTX_MEGA_PPL must be 1, 2 or 4, got {env!r}")
+        if v not in (1, 2, 4, 8):
+            raise ValueError(
+                f"RTX_MEGA_PPL must be 1, 2, 4 or 8, got {env!r}"
+            )
         return v
+    if paired and batched and not adaptive:
+        return 4
     return 2 if (batched and not adaptive) else 1
 
 
@@ -267,6 +285,9 @@ def _render_kernel(
     fetch2_ref,  # (n_slots/128 * n_fetch_rows, 128) two-level fetch operand
     sph_attr_ref,  # (NSs_pad, SUB, nwf): winner-fetch attr rows (spheres)
     tri_attr_ref,  # (NSt_pad, SUB, nwf): winner-fetch attr rows (tris)
+    pperm_ref,  # (ROWS, 128) i32 lane->local-pixel permutation (cost-guided
+    # lane pairing, use_pperm; token (1, 128) otherwise). Row p*RS+g, lane
+    # l holds the tile-local pixel index traced by lane (g, l) at phase p.
     acc_r_ref,  # (ROWS, 128) accum-in blocks (token (1, 128) zeros unless
     acc_g_ref,  # with_accum: see render_frames_mega - the K-frame batched
     acc_b_ref,  # launch folds completed frames into the running average)
@@ -320,6 +341,7 @@ def _render_kernel(
     with_accum: bool = False,
     clamp_accum: bool = True,
     ppl: int = 1,
+    use_pperm: bool = False,
     adaptive: bool = False,
     fast_scatter: bool = False,
     phases: int = 1,
@@ -396,7 +418,17 @@ def _render_kernel(
     t_y = pid // n_tx
     pixs, fpxs, fpys, fpzs = [], [], [], []
     for p in range(ppl):
-        local = (sub_i + p * RS) * LANES + lane
+        if use_pperm:
+            # cost-guided lane pairing: each lane's phase-p pixel comes
+            # from the launcher-built permutation (heavy pixels pair with
+            # light ones, equalising per-lane quota so the tile's slot
+            # loop drains evenly - parity occupancy 73.6% -> ~80%
+            # measured in tools/pairing_sim.py). The pixel SET per tile
+            # is unchanged, so cluster-cull locality is untouched; the
+            # launcher un-permutes the outputs.
+            local = pperm_ref[p * RS : (p + 1) * RS, :]
+        else:
+            local = (sub_i + p * RS) * LANES + lane
         x = jnp.minimum(t_x * TS + local % TS, width - 1)
         # ip_ref[2] is the y offset of this device's horizontal band (0
         # on a single chip): tile rows are band-local, seeds stay global.
@@ -1813,6 +1845,7 @@ def render_frame_mega(
     y0=0,
     band_height: int | None = None,
     collect_stats: bool = False,
+    segs_map: bool = False,
 ):
     """Full-frame render via the megakernel.
 
@@ -1832,7 +1865,7 @@ def render_frame_mega(
         tile_size(scene.packed, cfg.adaptive_spp), n_phases(), interpret,
         use_cull, stub_fetch, stub_intersect, dup_intersect, dup_fetch,
         y0, band_height, collect_stats,
-        None, 1, pixels_per_lane(cfg.adaptive_spp),
+        None, 1, pixels_per_lane(cfg.adaptive_spp), segs_map,
     )
 
 
@@ -1846,6 +1879,8 @@ def render_frames_mega(
     interpret: bool = False,
     y0=0,
     band_height: int | None = None,
+    segs_map: bool = False,
+    pair_costs=None,
 ):
     """Render ``n_frames`` consecutive frames in ONE kernel launch and fold
     them into the running average ``accum`` ((H, W, 3) f32).
@@ -1867,18 +1902,35 @@ def render_frames_mega(
     divide; cfg.clamp_accumulate selects the reference's saturate
     (Accumulate.shader:48-50) vs HDR accumulation. In adaptive_spp mode
     refill extras all land in the final batched frame.
+
+    ``pair_costs``: optional (H, W) per-pixel cost map (the ``segs_map``
+    output of a previous launch). Switches the multi-pixel-lane pairing
+    from blind vertical halves to cost-sorted within each tile (heavy
+    pixels share lanes with light ones), raising parity occupancy from
+    ~74% to ~80-89% (tools/pairing_sim.py) - the rendered image is
+    BIT-IDENTICAL for any cost map, only the lane schedule (and the
+    TS/ppl defaults: 192/4 vs 128/2) changes. ``segs_map``: additionally
+    return the (H, W) int32 per-pixel segment counts - the cost signal
+    to chain into the next launch.
     """
+    paired = pair_costs is not None
     return _render_frame_mega_ts(
         scene, camera, cfg, frame0,
-        tile_size(scene.packed, cfg.adaptive_spp, batched=n_frames > 1),
+        tile_size(
+            scene.packed, cfg.adaptive_spp, batched=n_frames > 1,
+            paired=paired,
+        ),
         n_phases(), interpret,
         True, False, False, False, False,
         y0, band_height, False, accum, n_frames,
-        pixels_per_lane(cfg.adaptive_spp, batched=n_frames > 1),
+        pixels_per_lane(
+            cfg.adaptive_spp, batched=n_frames > 1, paired=paired
+        ),
+        segs_map, pair_costs,
     )
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "ts", "phases", "interpret", "use_cull", "stub_fetch", "stub_intersect", "dup_intersect", "dup_fetch", "band_height", "collect_stats", "n_frames", "ppl"))
+@functools.partial(jax.jit, static_argnames=("cfg", "ts", "phases", "interpret", "use_cull", "stub_fetch", "stub_intersect", "dup_intersect", "dup_fetch", "band_height", "collect_stats", "n_frames", "ppl", "segs_map"))
 def _render_frame_mega_ts(
     scene: Scene,
     camera,
@@ -1898,6 +1950,8 @@ def _render_frame_mega_ts(
     accum=None,
     n_frames: int = 1,
     ppl: int = 1,
+    segs_map: bool = False,
+    pair_costs=None,
 ):
     import math as _math
 
@@ -1997,6 +2051,45 @@ def _render_frame_mega_ts(
         tperm = _f2b(p.tri_sub_bounds[: max(p.n_tri_subs, 1)])
     tperm_sup = _f2b(p.tri_super_bounds)
 
+    # ---- cost-guided lane pairing (multi-pixel lanes) ----
+    # pair_costs: (H, W) per-pixel cost signal (segment counts from a
+    # previous launch, see segs_map). Within each tile - the pixel SET
+    # per tile must not change, or the cluster culls lose locality
+    # (measured: cross-tile pools are also occupancy-NEGATIVE, because a
+    # heavy tile's max pair then stalls several tiles' worth of lanes,
+    # tools/pairing_sim.py) - pixels are cost-sorted and phase blocks
+    # alternate direction, so each lane's ppl pixels sum to ~the tile
+    # mean. Built in XLA from a device-resident cost map: the
+    # progressive loop chains launch N's segs map into launch N+1's
+    # pairing with no host round-trip.
+    use_pperm = pair_costs is not None and ppl > 1
+    RS_pp = ROWS // ppl
+    if use_pperm:
+        ysc = jnp.minimum(
+            jnp.asarray(y0, jnp.int32) + jnp.arange(n_ty * TS),
+            cfg.height - 1,
+        )
+        xsc = jnp.minimum(jnp.arange(n_tx * TS), cfg.width - 1)
+        cost_t = (
+            pair_costs[ysc][:, xsc]
+            .reshape(n_ty, TS, n_tx, TS)
+            .transpose(0, 2, 1, 3)
+            .reshape(n_tiles, TS * TS)
+        )
+        order = jnp.argsort(-cost_t.astype(jnp.float32), axis=1).astype(
+            jnp.int32
+        )
+        npl = RS_pp * LANES
+        blocks = []
+        for pph in range(ppl):
+            blk = order[:, pph * npl : (pph + 1) * npl]
+            blocks.append(blk if pph % 2 == 0 else blk[:, ::-1])
+        pperm_flat = jnp.concatenate(blocks, axis=1)
+        pperm_inv = jnp.argsort(pperm_flat, axis=1)
+        pperm_in = pperm_flat.reshape(n_tiles * ROWS, LANES)
+    else:
+        pperm_in = jnp.zeros((1, LANES), jnp.int32)
+
     # fetch batch width: as many ray rows per MXU dot as keep the batched
     # dot result under ~4 MB of VMEM (big-slot scenes chunk the batch).
     # Winner mode never runs the one-hot fetch - its scratch shrinks to
@@ -2020,6 +2113,7 @@ def _render_frame_mega_ts(
         with_accum=with_accum,
         clamp_accum=cfg.clamp_accumulate,
         ppl=ppl,
+        use_pperm=use_pperm,
         adaptive=cfg.adaptive_spp,
         fast_scatter=cfg.fast_scatter,
         phases=phases,
@@ -2055,6 +2149,16 @@ def _render_frame_mega_ts(
         (ROWS, LANES), lambda i, ip, sp, sps, tp, tps, fp, hp: (i, 0),
         memory_space=pltpu.VMEM,
     )
+    if use_pperm:
+        pperm_spec = [out_spec]
+    else:
+        pperm_spec = [
+            pl.BlockSpec(
+                (1, LANES),
+                lambda i, ip, sp, sps, tp, tps, fp, hp: (0, 0),
+                memory_space=pltpu.VMEM,
+            )
+        ]
     if with_accum:
         # accumulator input in the kernel's tile-block layout, built with
         # the kernel's exact pixel mapping (edge tiles clamp to the image,
@@ -2071,6 +2175,14 @@ def _render_frame_mega_ts(
             .transpose(0, 2, 1, 3, 4)
             .reshape(n_tiles * ROWS, LANES, 3)
         )
+        if use_pperm:
+            # each lane reads ITS pixel's running average: permute the
+            # accumulator blocks with the same lane->pixel map
+            acc_tiled = jnp.take_along_axis(
+                acc_tiled.reshape(n_tiles, ROWS * LANES, 3),
+                pperm_flat[..., None],
+                axis=1,
+            ).reshape(n_tiles * ROWS, LANES, 3)
         acc_in = [acc_tiled[..., 0], acc_tiled[..., 1], acc_tiled[..., 2]]
         acc_spec = [out_spec] * 3
     else:
@@ -2095,7 +2207,7 @@ def _render_frame_mega_ts(
             full(p.fetch_tab2),
             full(p.sph_attr),
             full(p.tri_attr),
-        ] + acc_spec,
+        ] + pperm_spec + acc_spec,
         out_specs=[
             out_spec, out_spec, out_spec, out_spec,
             pl.BlockSpec(
@@ -2148,10 +2260,16 @@ def _render_frame_mega_ts(
     )(iparams, sperm, sperm_sup, tperm, tperm_sup, fparams, p.hoist_params,
       p.sph_sub_bounds, p.sph_super_bounds, p.sph_sub_cols,
       p.tri_sub_bounds, p.tri_super_bounds, p.tri_sub_cols, p.fetch_tab2,
-      p.sph_attr, p.tri_attr, *acc_in)
+      p.sph_attr, p.tri_attr, pperm_in, *acc_in)
 
     def untile(a):
         """(n_tiles * ROWS, LANES) tile-local order -> (bh, W) band crop."""
+        if use_pperm:
+            # outputs are in lane order; gather back to pixel order with
+            # the inverse permutation before untiling
+            a = jnp.take_along_axis(
+                a.reshape(n_tiles, ROWS * LANES), pperm_inv, axis=1
+            ).reshape(n_tiles * ROWS, LANES)
         a = a.reshape(n_ty, n_tx, TS, TS)  # [ty, tx, ly, lx]
         a = a.transpose(0, 2, 1, 3).reshape(n_ty * TS, n_tx * TS)
         return a[:bh, : cfg.width]
@@ -2172,4 +2290,9 @@ def _render_frame_mega_ts(
             hist.reshape(n_tiles, hist_rows, LANES), axis=(0, 2)
         )
         return img, segs_total, counts
+    if segs_map:
+        # per-pixel segment counts ((bh, W) int32): the per-lane slot
+        # participation totals in image order - the cost signal for
+        # cost-guided lane pairing (tools/pairing_sim.py; pack.pair_perm)
+        return img, segs_total, untile(segs)
     return img, segs_total

@@ -36,8 +36,18 @@ def render_progressive(
     metrics: MetricsLogger | None = None,
     cameras=None,
     mesh=None,
+    batch: int = 1,
 ):
     """Accumulate ``frames`` frames and return the (H, W, 3) average.
+
+    ``batch``: frames fused per dispatch (static camera only). On the
+    megakernel path each chunk is ONE kernel launch whose per-pixel cost
+    telemetry feeds the NEXT chunk's cost-guided lane pairing
+    (render.render_frames_and_accumulate pair_costs chaining) - the fast
+    parity path (bench.py's parity mode; ~263 vs ~182 Mrays/s unbatched
+    on the RTIOW headline). Identical estimator and accumulation values
+    (fold within 1 ulp/step); per-frame alive_frac/accum_var metrics are
+    unavailable (one JSONL line per chunk instead).
 
     ``cameras``: optional per-frame Camera sequence (fly-throughs,
     BASELINE config 5). With a static camera the running average converges
@@ -84,6 +94,47 @@ def render_progressive(
             f"[{start_frame}, {start_frame + frames}) needs "
             f"{start_frame + frames}"
         )
+    if batch > 1:
+        if cameras is not None:
+            raise ValueError(
+                "batch > 1 fuses frames into one launch under a single "
+                "camera; per-frame cameras need batch=1"
+            )
+        from .render import render_frames_and_accumulate
+
+        cmap = None
+        f = start_frame
+        end = start_frame + frames
+        while f < end:
+            k = min(batch, end - f)
+            t0 = time.perf_counter()
+            accum, segs, cmap = render_frames_and_accumulate(
+                scene, camera, cfg, accum, jnp.uint32(f), k,
+                pair_costs=cmap, segs_map=True,
+            )
+            segs = int(segs)  # one host sync per chunk
+            wall = time.perf_counter() - t0
+            f += k
+            if metrics is not None:
+                metrics.log(
+                    FrameMetrics(
+                        frame=f - 1,
+                        wall_s=wall,
+                        rays=segs,
+                        pixels=cfg.num_pixels,
+                        spp=cfg.spp * k,
+                        extra={"batched_frames": k},
+                    )
+                )
+            if (
+                checkpoint_path is not None
+                and checkpoint_every
+                and (f // checkpoint_every) > ((f - k) // checkpoint_every)
+            ):
+                ckpt.save(checkpoint_path, np.asarray(accum), f, fingerprint)
+        if checkpoint_path is not None:
+            ckpt.save(checkpoint_path, np.asarray(accum), end, fingerprint)
+        return np.asarray(accum)
 
     # Welford running second moment across frames: var(mean) ~= mean(M2) /
     # (n (n - 1)) is the MC convergence signal promised in SURVEY section 5.

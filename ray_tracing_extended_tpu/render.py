@@ -218,7 +218,9 @@ def render_frame(scene: Scene, camera: Camera, cfg: RenderConfig, frame):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("cfg", "n_frames"), donate_argnums=(3,)
+    jax.jit,
+    static_argnames=("cfg", "n_frames", "segs_map"),
+    donate_argnums=(3,),
 )
 def render_frames_and_accumulate(
     scene: Scene,
@@ -227,9 +229,12 @@ def render_frames_and_accumulate(
     accum,
     frame0,
     n_frames: int = 1,
+    pair_costs=None,
+    segs_map: bool = False,
 ):
     """``n_frames`` progressive steps fused into one dispatch -> (accum',
-    total ray segments uint32).
+    total ray segments uint32) (+ an (H, W) int32 per-pixel segment map
+    when ``segs_map``).
 
     On the megakernel path this is ONE kernel launch: frames are
     independently seeded (pix + frame*719393), so a lane that finishes a
@@ -238,14 +243,24 @@ def render_frames_and_accumulate(
     fix (kernels/megakernel.py render_frames_mega). Sample-for-sample
     identical to the sequential render_and_accumulate loop (fold within
     1 ulp/step of compiler contraction noise). The XLA path folds
-    sequentially with the same weights."""
+    sequentially with the same weights.
+
+    ``pair_costs``: optional (H, W) cost map (a previous call's
+    ``segs_map`` output) enabling cost-guided lane pairing on the
+    megakernel path - bit-identical output, higher occupancy (see
+    render_frames_mega). Chain it across calls:
+    ``acc, segs, cmap = render_frames_and_accumulate(..., pair_costs=cmap,
+    segs_map=True)``. Ignored on the XLA fallback path, whose segment
+    map (per-pixel cost telemetry) is also not available - it returns a
+    zeros map, which a later megakernel launch treats as an identity
+    pairing."""
     if _use_megakernel(scene, cfg):
         from .kernels.megakernel import render_frames_mega
 
         interpret = jax.devices()[0].platform != "tpu"
         return render_frames_mega(
             scene, camera, cfg, frame0, accum, n_frames,
-            interpret=interpret,
+            interpret=interpret, segs_map=segs_map, pair_costs=pair_costs,
         )
     total = jnp.uint32(0)
     for k in range(n_frames):
@@ -256,6 +271,10 @@ def render_frames_and_accumulate(
             accum, cur, frame0 + jnp.uint32(k), clamp=cfg.clamp_accumulate
         )
         total = total + segs
+    if segs_map:
+        return accum, total, jnp.zeros(
+            (cfg.height, cfg.width), jnp.int32
+        )
     return accum, total
 
 

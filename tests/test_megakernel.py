@@ -304,3 +304,44 @@ def test_mega_winner_fetch_spheres_only(monkeypatch):
     b, _ = render_frame_mega(scene_w, cam, cfg, jnp.uint32(0),
                              interpret=True)
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_mega_cost_paired_bit_identical(monkeypatch):
+    """Cost-guided lane pairing (pair_costs): the permutation changes WHICH
+    lane traces which pixel, but every pixel's RNG stream depends only on
+    its own global index, so the accumulator AND the per-pixel segment map
+    must be BIT-identical for any cost map - an adversarial random one and
+    a real segs_map from a prior launch alike. 48x24 with TS=32 also
+    exercises the edge-clamped tile path under permutation."""
+    import os
+
+    from ray_tracing_extended_tpu.kernels.megakernel import (
+        render_frames_mega,
+    )
+
+    scene, cam, cfg = three_sphere_scene(width=48, height=24, spp=2)
+    rng = np.random.default_rng(7)
+    costs = jnp.asarray(
+        rng.integers(0, 100, size=(24, 48)).astype(np.int32)
+    )
+    for ppl in ("2", "4"):
+        monkeypatch.setitem(os.environ, "RTX_MEGA_PPL", ppl)
+        acc = jnp.zeros((24, 48, 3), jnp.float32)
+        img0, s0, m0 = render_frames_mega(
+            scene, cam, cfg, jnp.uint32(1), acc, 2, interpret=True,
+            segs_map=True,
+        )
+        img1, s1, m1 = render_frames_mega(
+            scene, cam, cfg, jnp.uint32(1), acc, 2, interpret=True,
+            segs_map=True, pair_costs=costs,
+        )
+        np.testing.assert_array_equal(np.asarray(img0), np.asarray(img1))
+        np.testing.assert_array_equal(np.asarray(m0), np.asarray(m1))
+        assert int(s0) == int(s1)
+        # chain a REAL cost map (the production pairing signal)
+        img2, s2 = render_frames_mega(
+            scene, cam, cfg, jnp.uint32(1), acc, 2, interpret=True,
+            pair_costs=m0,
+        )
+        np.testing.assert_array_equal(np.asarray(img0), np.asarray(img2))
+        assert int(s0) == int(s2)

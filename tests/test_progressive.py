@@ -74,3 +74,18 @@ def test_checkpoint_atomic_roundtrip(tmp_path):
     assert frame == 7 and np.array_equal(out, img)
     with pytest.raises(ValueError):
         ckpt.load(p, "different")
+
+
+def test_render_progressive_batched_matches_per_frame(tmp_path):
+    """batch>1 fuses frames per launch with cost-map chaining; the result
+    must match the per-frame loop within fold contraction noise (1 ulp
+    per accumulate step), including a non-multiple tail chunk."""
+    import numpy as np
+
+    from ray_tracing_extended_tpu.models.presets import three_sphere_scene
+    from ray_tracing_extended_tpu.progressive import render_progressive
+
+    scene, cam, cfg = three_sphere_scene(width=32, height=16, spp=2)
+    a = render_progressive(scene, cam, cfg, frames=5)
+    b = render_progressive(scene, cam, cfg, frames=5, batch=2)
+    np.testing.assert_allclose(a, b, rtol=0, atol=2e-6)
