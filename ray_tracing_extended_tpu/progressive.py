@@ -66,6 +66,11 @@ def render_progressive(
     (clamp_accumulate=False) is required then.
     """
     if mesh is not None:
+        if batch > 1:
+            raise ValueError(
+                "batch > 1 is single-chip only for now; the sharded "
+                "band path renders per frame"
+            )
         return _render_progressive_sharded(
             scene, camera, cfg, frames, mesh,
             checkpoint_path=checkpoint_path,

@@ -103,3 +103,24 @@ def test_cli_mesh_arg_errors():
         main([
             "render", "--scene", "preset:three_sphere", "--mesh", "4x4",
         ])
+
+
+def test_cli_render_batched(tmp_path):
+    """--batch K drives the fused cost-paired progressive path from the
+    CLI; output must match the per-frame render exactly (the batched
+    fold differs by <= 1 ulp/step, so compare with a tiny tolerance)."""
+    import numpy as np
+
+    out_a = tmp_path / "a.npy"
+    out_b = tmp_path / "b.npy"
+    rc = main(["render", "--scene", "preset:three_sphere", "--width", "48",
+               "--height", "24", "--spp", "2", "--frames", "4",
+               "--out", str(out_a)])
+    assert rc == 0
+    rc = main(["render", "--scene", "preset:three_sphere", "--width", "48",
+               "--height", "24", "--spp", "2", "--frames", "4",
+               "--batch", "2", "--out", str(out_b)])
+    assert rc == 0
+    a, b = np.load(out_a), np.load(out_b)
+    assert a.shape == (24, 48, 3)
+    np.testing.assert_allclose(a, b, rtol=0, atol=2e-6)
