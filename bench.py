@@ -105,10 +105,13 @@ def _measure(run_fn, n_runs):
 
 
 def _bench_secondary(name, scene, camera, cfg, n_frames=2, n_runs=2,
-                     extra=None):
+                     extra=None, batch=0):
     import jax.numpy as jnp
 
-    from ray_tracing_extended_tpu.render import render_frame_with_stats
+    from ray_tracing_extended_tpu.render import (
+        render_frame_with_stats,
+        render_frames_and_accumulate,
+    )
 
     state = {"frame": 1}
 
@@ -134,6 +137,33 @@ def _bench_secondary(name, scene, camera, cfg, n_frames=2, n_runs=2,
         "config": {"width": cfg.width, "height": cfg.height,
                    "spp": cfg.spp, "max_bounce": cfg.max_bounce},
     }
+    if batch:
+        # the production fast path (render_progressive(batch=K)): K
+        # frames fused per launch, cost-paired lanes chained from the
+        # previous launch's segment map. Same estimator, exact spp -
+        # high-variance path lengths (deep bounces, small frames) gain
+        # the most from the pairing + launch amortisation.
+        cmap = {"m": None}
+        bstate = {"frame": 1001}
+
+        def run_b():
+            acc = jnp.zeros((cfg.height, cfg.width, 3), jnp.float32)
+            acc, segs, cmap["m"] = render_frames_and_accumulate(
+                scene, camera, cfg, acc, jnp.uint32(bstate["frame"]),
+                batch, pair_costs=cmap["m"], segs_map=True,
+            )
+            bstate["frame"] += batch
+            return segs
+
+        int(run_b())  # compile unpaired + cost map
+        int(run_b())  # compile the paired variant
+        bruns = _measure(run_b, n_runs)
+        bbest = max(bruns, key=lambda r: r["mrays"])
+        line["batched_paired_mrays"] = round(bbest["mrays"], 2)
+        line["batched_frames"] = batch
+        line["batched_frame_ms"] = round(
+            bbest["wall_s"] / batch * 1000, 1
+        )
     if extra:
         line.update(extra)
     print(json.dumps(line), flush=True)
@@ -190,9 +220,14 @@ def main():
     # ---- secondary configs (BASELINE.md configs 2-4 + high-bounce) ----
     c_scene, c_cam, c_cfg = cornell_box_scene()
     _bench_secondary(
-        "Cornell box 512x512 depth-8 (Mrays/s)", c_scene, c_cam, c_cfg
+        "Cornell box 512x512 depth-8 (Mrays/s)", c_scene, c_cam, c_cfg,
+        batch=16,
     )
     m_scene, m_cam, m_cfg = mesh_scene()
+    # no batched line here: batched+paired measured SLOWER on the 70k-tri
+    # winner-mode scene (1.23 vs 1.44 Mrays/s at K=4 - scattered rays on
+    # a dense surface leave little pairable imbalance, and ppl=4 starves
+    # the 64-tile's 8 state rows); per-frame is the production choice
     _bench_secondary(
         "mesh_scene 70k tris winner-fetch (Mrays/s)",
         m_scene, m_cam, m_cfg, n_frames=1,
@@ -206,7 +241,8 @@ def main():
             overrides=dict(width=1280, height=720),
         )
         _bench_secondary(
-            "Balls Outdoors 720p 30x30 (Mrays/s)", b_scene, b_cam, b_cfg
+            "Balls Outdoors 720p 30x30 (Mrays/s)", b_scene, b_cam, b_cfg,
+            batch=8,
         )
     except FileNotFoundError:
         pass  # reference assets not present in this checkout

@@ -345,3 +345,30 @@ def test_mega_cost_paired_bit_identical(monkeypatch):
         )
         np.testing.assert_array_equal(np.asarray(img0), np.asarray(img2))
         assert int(s0) == int(s2)
+
+
+def test_mega_cost_paired_winner_mode(monkeypatch):
+    """Cost-guided pairing composes with the winner post-pass fetch (big
+    scenes): batched paired render must be bit-identical to unpaired."""
+    import os
+
+    from ray_tracing_extended_tpu.kernels import pack as pack_mod
+    from ray_tracing_extended_tpu.kernels.megakernel import (
+        render_frames_mega,
+    )
+
+    monkeypatch.setattr(pack_mod, "ONEHOT_MAX_SLOTS", 0)
+    monkeypatch.setitem(os.environ, "RTX_MEGA_PPL", "2")
+    scene, cam, cfg = three_sphere_scene(width=48, height=24, spp=2)
+    assert scene.packed.fetch_mode == "winner"
+    acc = jnp.zeros((24, 48, 3), jnp.float32)
+    img0, s0, m0 = render_frames_mega(
+        scene, cam, cfg, jnp.uint32(1), acc, 2, interpret=True,
+        segs_map=True,
+    )
+    img1, s1 = render_frames_mega(
+        scene, cam, cfg, jnp.uint32(1), acc, 2, interpret=True,
+        pair_costs=m0,
+    )
+    np.testing.assert_array_equal(np.asarray(img0), np.asarray(img1))
+    assert int(s0) == int(s1)
