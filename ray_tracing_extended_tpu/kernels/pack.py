@@ -140,6 +140,169 @@ def _morton_order(centroids: np.ndarray) -> np.ndarray:
     return np.argsort(_morton3(q), kind="stable").astype(np.int32)
 
 
+# Sub-cluster assignment strategy. "kmeans" (default) refines the Morton
+# runs with a balanced capacity-SUB k-means: on the RTIOW grid the Morton
+# chunking leaves 41% excess cluster-AABB surface area vs the balanced
+# partition (2248 vs 1322 summed SA over 15 clusters), and the slab cull's
+# visit probability tracks box area. "morton" keeps the plain runs for A/B.
+PACK_CLUSTER = _os.environ.get("RTX_PACK_CLUSTER", "kmeans")
+if PACK_CLUSTER not in ("kmeans", "morton"):
+    raise ValueError(
+        f"RTX_PACK_CLUSTER must be 'kmeans' or 'morton', got "
+        f"{PACK_CLUSTER!r}"
+    )
+
+
+def _cluster_sa(assign, lo, hi, k):
+    """Summed surface area of the k cluster AABBs under ``assign``."""
+    mn = np.full((k, 3), np.inf)
+    mx = np.full((k, 3), -np.inf)
+    np.minimum.at(mn, assign, lo)
+    np.maximum.at(mx, assign, hi)
+    d = np.maximum(mx - mn, 0.0)
+    d[~np.isfinite(d)] = 0.0
+    return float(
+        (2.0 * (d[:, 0] * d[:, 1] + d[:, 1] * d[:, 2]
+                + d[:, 2] * d[:, 0])).sum()
+    )
+
+
+def _greedy_capacity(d2, cand, k):
+    """Capacity-SUB cluster assignment, vectorized in waves: every
+    pending point requests its nearest untried candidate; each cluster
+    keeps its smallest-distance requesters up to remaining capacity and
+    bumps the rest to their next candidate. Deterministic (stable
+    lexsort; final ties broken by point index). Points whose whole
+    candidate list fills up stay -1 for the caller to spill."""
+    n, m = d2.shape
+    ordc = np.argsort(d2, axis=1, kind="stable")
+    d2s = np.take_along_axis(d2, ordc, axis=1)
+    cnds = np.take_along_axis(cand, ordc, axis=1)
+    assign = np.full(n, -1, np.int32)
+    cap = np.full(k, SUB, np.int32)
+    choice = np.zeros(n, np.int32)
+    pending = np.arange(n)
+    for _ in range(m):
+        if len(pending) == 0:
+            break
+        cur = cnds[pending, choice[pending]]
+        curd = d2s[pending, choice[pending]]
+        so = np.lexsort((pending, curd, cur))
+        sc = cur[so]
+        first = np.r_[True, sc[1:] != sc[:-1]]
+        idx_first = np.nonzero(first)[0]
+        rank = np.arange(len(sc)) - idx_first[np.cumsum(first) - 1]
+        keep = rank < cap[sc]
+        kept_pts = pending[so[keep]]
+        kept_cl = sc[keep]
+        assign[kept_pts] = kept_cl
+        np.subtract.at(cap, kept_cl, 1)
+        pending = pending[so[~keep]]
+        choice[pending] = np.minimum(choice[pending] + 1, m - 1)
+    return assign, cap
+
+
+# _cluster_slots only attempts k-means below this sub-cluster count.
+# Above it (dense connected surfaces: bunny 2188 subs, chess ~800) the
+# measured best partition IS the Morton runs (k-means never beat the
+# initial SA in any tested mesh) while the windowed assignment costs
+# ~50 s/iteration at 70k primitives, dominated by spill fallbacks - so
+# big scenes keep the plain Morton layout.
+KMEANS_MAX_SUBS = 64
+
+
+def _cluster_slots(lo: np.ndarray, hi: np.ndarray, *, iters: int = 24):
+    """Partition primitives (given their per-primitive AABBs) into
+    SUB-sized sub-clusters and lay them out as slot blocks: returns
+    ``(slots, live)`` where ``slots`` is a ``(k*SUB,)`` int32 array of
+    positions into the input (each consecutive SUB block is one cluster;
+    dead pad slots repeat a live member of the same cluster) and ``live``
+    marks the real entries.
+
+    Layout = Morton-initialized balanced k-means over box centers with a
+    capacity-SUB greedy assignment per iteration (_greedy_capacity), and
+    the WINNING iteration chosen by summed cluster-AABB surface area -
+    the quantity the slab cull's visit probability actually tracks. The
+    trajectory is non-monotone in SA (Lloyd minimizes SSE, not SA;
+    measured on RTIOW it wanders 2248->2773->...->1322 over ~12
+    iterations), hence best-seen tracking rather than last-iterate.
+    Every cluster is a candidate for every point (k <= KMEANS_MAX_SUBS
+    here). Clusters (and members within a cluster) are Morton-ordered at
+    the end, keeping the SUPER-level grouping of consecutive
+    sub-clusters spatially tight.
+
+    Deterministic by construction (stable sorts, fixed iteration count,
+    no RNG) - the layout feeds checkpoint fingerprints and the cost-
+    pairing caches, which must not drift between identical builds.
+    """
+    cent = ((lo + hi) * 0.5).astype(np.float32)
+    n = len(cent)
+    k = -(-n // SUB)
+    morder = _morton_order(cent)
+    if k <= 1 or k > KMEANS_MAX_SUBS or PACK_CLUSTER == "morton":
+        pad = k * SUB - n
+        slots = np.concatenate(
+            [morder, np.full(pad, morder[-1], np.int32)]
+        ).astype(np.int32)
+        live = np.arange(k * SUB) < n
+        return slots, live
+
+    pts64 = cent.astype(np.float64)
+    assign = np.empty(n, np.int32)
+    assign[morder] = (np.arange(n) // SUB).astype(np.int32)
+    best_assign = assign
+    best_sa = init_sa = _cluster_sa(assign, lo, hi, k)
+    cand = np.broadcast_to(np.arange(k, dtype=np.int32), (n, k))
+    for _ in range(iters):
+        cnt = np.bincount(assign, minlength=k).astype(np.float64)
+        cc = np.zeros((k, 3), np.float64)
+        np.add.at(cc, assign, pts64)
+        cc = cc / np.maximum(cnt, 1.0)[:, None]
+        d2 = ((pts64[:, None, :] - cc[None, :, :]) ** 2).sum(-1)
+        newa, _cap = _greedy_capacity(d2, cand, k)
+        # with all k clusters as candidates and total capacity >= n the
+        # wave greedy always lands every point
+        assert (newa >= 0).all()
+        if np.array_equal(newa, assign):
+            break
+        assign = newa
+        sa = _cluster_sa(assign, lo, hi, k)
+        if sa < best_sa:
+            best_sa = sa
+            best_assign = assign
+
+    if best_sa >= init_sa:
+        # k-means never beat the Morton runs (typical for dense connected
+        # surfaces): keep the PLAIN Morton layout - same partition AND
+        # same cluster order, so the SUPER-level grouping of consecutive
+        # runs is preserved (reordering runs by cluster-centroid Morton
+        # was measured to inflate mesh super SA 75.7 -> 89.8)
+        pad = k * SUB - n
+        slots = np.concatenate(
+            [morder, np.full(pad, morder[-1], np.int32)]
+        ).astype(np.int32)
+        live = np.arange(k * SUB) < n
+        return slots, live
+
+    assign = best_assign
+    cnt = np.bincount(assign, minlength=k).astype(np.float64)
+    cc = np.zeros((k, 3), np.float64)
+    np.add.at(cc, assign, pts64)
+    cc = cc / np.maximum(cnt, 1.0)[:, None]
+    corder = _morton_order(cc.astype(np.float32))
+    slots = np.empty(k * SUB, np.int32)
+    live = np.zeros(k * SUB, bool)
+    for p, j in enumerate(corder.tolist()):
+        members = np.nonzero(assign == j)[0]
+        members = members[_morton_order(cent[members])]
+        m = len(members)
+        base = p * SUB
+        slots[base : base + m] = members
+        slots[base + m : base + SUB] = members[-1]
+        live[base : base + m] = True
+    return slots, live
+
+
 def _hoist_candidates(centers, radii, real_s) -> list:
     """Spheres so large their sub-cluster AABB can never cull (the RTIOW
     r=1000 ground: its box contains the whole scene, so its sub is visited
@@ -204,15 +367,19 @@ def pack_scene(scene: Scene) -> PackedScene:
         # table builder (bounds, sub-cols, attr, fetch) is unchanged; the
         # megakernel's visit loop stops at n_sphere_subs_visit and tests
         # hoisted spheres from SMEM params instead
-        order = reg[_morton_order(centers[reg])]
+        rr = radii[reg][:, None]
+        slots, live = _cluster_slots(centers[reg] - rr, centers[reg] + rr)
+        src = reg[slots]  # original sphere index per slot (pads repeat a
+        # live member of the SAME cluster, keeping dead centers inside
+        # the cluster box)
         s_pad = s_pad_reg + CLUSTER
         c = np.zeros((s_pad, 3), np.float32)
         r = np.full((s_pad,), -1.0, np.float32)
         perm = np.full((s_pad,), hoist[-1], np.int32)
-        c[: len(order)] = centers[order]
-        c[len(order): s_pad_reg] = centers[order[-1]]
-        r[: len(order)] = radii[order]
-        perm[: len(order)] = order
+        c[: len(src)] = centers[src]
+        c[len(src): s_pad_reg] = centers[src[-1]]
+        r[: len(src)] = np.where(live, radii[src], -1.0)
+        perm[: len(src)] = src
         c[s_pad_reg:] = centers[hoist[-1]]
         for j, k in enumerate(hoist):
             c[s_pad_reg + j] = centers[k]
@@ -229,15 +396,19 @@ def pack_scene(scene: Scene) -> PackedScene:
                 float((slot // SUB) * SUB), float(slot % SUB),
             ]
     elif len(real_s):
-        order = real_s[_morton_order(centers[real_s])]
-        s_pad = -(-len(order) // CLUSTER) * CLUSTER
+        rr = radii[real_s][:, None]
+        slots, live = _cluster_slots(
+            centers[real_s] - rr, centers[real_s] + rr
+        )
+        src = real_s[slots]
+        s_pad = -(-len(real_s) // CLUSTER) * CLUSTER
         c = np.zeros((s_pad, 3), np.float32)
         r = np.full((s_pad,), -1.0, np.float32)
-        perm = np.full((s_pad,), order[-1], np.int32)
-        c[: len(order)] = centers[order]
-        c[len(order):] = centers[order[-1]]
-        r[: len(order)] = radii[order]
-        perm[: len(order)] = order
+        perm = np.full((s_pad,), src[-1], np.int32)
+        c[: len(src)] = centers[src]
+        c[len(src):] = centers[src[-1]]
+        r[: len(src)] = np.where(live, radii[src], -1.0)
+        perm[: len(src)] = src
         n_hoist, nss_visit, hoist_params = 0, None, np.zeros(8, np.float32)
     else:
         s_pad = CLUSTER
@@ -252,19 +423,28 @@ def pack_scene(scene: Scene) -> PackedScene:
     real_t = np.nonzero((n * n).sum(axis=1) > 0)[0]
 
     if len(real_t):
-        centroids = pa[real_t] + (eab[real_t] + eac[real_t]) / 3.0
-        order = real_t[_morton_order(centroids)]
-        t_pad = -(-len(order) // CLUSTER) * CLUSTER
+        va = pa[real_t]
+        vb = va + eab[real_t]
+        vc = va + eac[real_t]
+        tslots, tlive = _cluster_slots(
+            np.minimum(np.minimum(va, vb), vc),
+            np.maximum(np.maximum(va, vb), vc),
+        )
+        torder = real_t[tslots]
+        t_pad = -(-len(real_t) // CLUSTER) * CLUSTER
         tpa = np.zeros((t_pad, 3), np.float32)
         teab = np.zeros((t_pad, 3), np.float32)
         teac = np.zeros((t_pad, 3), np.float32)
         tn = np.zeros((t_pad, 3), np.float32)
-        tperm = np.full((t_pad,), order[-1], np.int32)
-        tpa[: len(order)] = pa[order]
-        teab[: len(order)] = eab[order]
-        teac[: len(order)] = eac[order]
-        tn[: len(order)] = n[order]
-        tperm[: len(order)] = order
+        tperm = np.full((t_pad,), torder[-1], np.int32)
+        tl = tlive[:, None]
+        # dead pad slots keep the all-zero rows (det = 0 < 1e-6 never
+        # hits; zero geometric normal excludes them from cluster bounds)
+        tpa[: len(torder)] = np.where(tl, pa[torder], 0.0)
+        teab[: len(torder)] = np.where(tl, eab[torder], 0.0)
+        teac[: len(torder)] = np.where(tl, eac[torder], 0.0)
+        tn[: len(torder)] = np.where(tl, n[torder], 0.0)
+        tperm[: len(torder)] = torder
     else:
         t_pad = CLUSTER
         tpa = np.zeros((t_pad, 3), np.float32)
