@@ -167,39 +167,29 @@ def _cluster_sa(assign, lo, hi, k):
     )
 
 
-def _greedy_capacity(d2, cand, k):
-    """Capacity-SUB cluster assignment, vectorized in waves: every
-    pending point requests its nearest untried candidate; each cluster
-    keeps its smallest-distance requesters up to remaining capacity and
-    bumps the rest to their next candidate. Deterministic (stable
-    lexsort; final ties broken by point index). Points whose whole
-    candidate list fills up stay -1 for the caller to spill."""
-    n, m = d2.shape
-    ordc = np.argsort(d2, axis=1, kind="stable")
-    d2s = np.take_along_axis(d2, ordc, axis=1)
-    cnds = np.take_along_axis(cand, ordc, axis=1)
+def _greedy_capacity(d2, k):
+    """Capacity-SUB cluster assignment: points choose in decreasing
+    margin (d-2nd-nearest minus d-nearest) order, each taking its
+    nearest cluster with remaining capacity - contested points commit
+    while their preference is still cheap. Sequential but tiny (the
+    k-means path only runs for k <= KMEANS_MAX_SUBS, i.e. n <= 2048:
+    ~1 ms/iteration); measured better than a wave-parallel
+    keep-nearest-per-cluster variant (best RTIOW SA 1315 vs 1459).
+    Deterministic: stable sorts, point index breaks ties."""
+    n = d2.shape[0]
+    near = np.argsort(d2, axis=1, kind="stable")
+    margin = d2[np.arange(n), near[:, 1]] - d2[np.arange(n), near[:, 0]]
+    prio = np.argsort(-margin, kind="stable")
+    cap = [SUB] * k
     assign = np.full(n, -1, np.int32)
-    cap = np.full(k, SUB, np.int32)
-    choice = np.zeros(n, np.int32)
-    pending = np.arange(n)
-    for _ in range(m):
-        if len(pending) == 0:
-            break
-        cur = cnds[pending, choice[pending]]
-        curd = d2s[pending, choice[pending]]
-        so = np.lexsort((pending, curd, cur))
-        sc = cur[so]
-        first = np.r_[True, sc[1:] != sc[:-1]]
-        idx_first = np.nonzero(first)[0]
-        rank = np.arange(len(sc)) - idx_first[np.cumsum(first) - 1]
-        keep = rank < cap[sc]
-        kept_pts = pending[so[keep]]
-        kept_cl = sc[keep]
-        assign[kept_pts] = kept_cl
-        np.subtract.at(cap, kept_cl, 1)
-        pending = pending[so[~keep]]
-        choice[pending] = np.minimum(choice[pending] + 1, m - 1)
-    return assign, cap
+    near_l = near.tolist()
+    for p in prio.tolist():
+        for cand in near_l[p]:
+            if cap[cand] > 0:
+                assign[p] = cand
+                cap[cand] -= 1
+                break
+    return assign
 
 
 # _cluster_slots only attempts k-means below this sub-cluster count.
@@ -252,16 +242,15 @@ def _cluster_slots(lo: np.ndarray, hi: np.ndarray, *, iters: int = 24):
     assign[morder] = (np.arange(n) // SUB).astype(np.int32)
     best_assign = assign
     best_sa = init_sa = _cluster_sa(assign, lo, hi, k)
-    cand = np.broadcast_to(np.arange(k, dtype=np.int32), (n, k))
     for _ in range(iters):
         cnt = np.bincount(assign, minlength=k).astype(np.float64)
         cc = np.zeros((k, 3), np.float64)
         np.add.at(cc, assign, pts64)
         cc = cc / np.maximum(cnt, 1.0)[:, None]
         d2 = ((pts64[:, None, :] - cc[None, :, :]) ** 2).sum(-1)
-        newa, _cap = _greedy_capacity(d2, cand, k)
-        # with all k clusters as candidates and total capacity >= n the
-        # wave greedy always lands every point
+        newa = _greedy_capacity(d2, k)
+        # every cluster is a candidate and total capacity >= n, so the
+        # greedy always lands every point
         assert (newa >= 0).all()
         if np.array_equal(newa, assign):
             break
