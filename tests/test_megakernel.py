@@ -372,3 +372,43 @@ def test_mega_cost_paired_winner_mode(monkeypatch):
     )
     np.testing.assert_array_equal(np.asarray(img0), np.asarray(img1))
     assert int(s0) == int(s1)
+
+
+def test_cluster_slots_invariants():
+    """pack._cluster_slots layout contract: every primitive appears in
+    exactly one slot, clusters are SUB-aligned blocks whose dead pad
+    slots repeat a live member of the SAME cluster (keeps pad centers
+    inside the cluster box), the k-means partition never has MORE
+    summed cluster-AABB surface area than the Morton runs it starts
+    from (best-SA iterate selection), and the layout is deterministic
+    call-to-call (it feeds checkpoint fingerprints)."""
+    from ray_tracing_extended_tpu.kernels import pack
+
+    rng = np.random.default_rng(7)
+    for n in (5, 32, 33, 100, 481):
+        pts = rng.uniform(-10, 10, (n, 3)).astype(np.float32)
+        r = rng.uniform(0.1, 0.5, (n, 1)).astype(np.float32)
+        lo, hi = pts - r, pts + r
+        slots, live = pack._cluster_slots(lo, hi)
+        k = -(-n // pack.SUB)
+        assert len(slots) == k * pack.SUB == len(live)
+        assert live.sum() == n
+        assert sorted(slots[live].tolist()) == list(range(n))
+        for i in range(0, len(slots), pack.SUB):
+            blk, lv = slots[i : i + pack.SUB], live[i : i + pack.SUB]
+            assert set(blk[~lv].tolist()) <= set(blk[lv].tolist())
+        slots2, live2 = pack._cluster_slots(lo, hi)
+        np.testing.assert_array_equal(slots, slots2)
+        np.testing.assert_array_equal(live, live2)
+        morder = pack._morton_order(((lo + hi) * 0.5).astype(np.float32))
+        minit = np.empty(n, np.int32)
+        minit[morder] = (np.arange(n) // pack.SUB).astype(np.int32)
+        fin = np.empty(n, np.int32)
+        for i in range(0, len(slots), pack.SUB):
+            fin[slots[i : i + pack.SUB][live[i : i + pack.SUB]]] = (
+                i // pack.SUB
+            )
+        assert (
+            pack._cluster_sa(fin, lo, hi, k)
+            <= pack._cluster_sa(minit, lo, hi, k) + 1e-3
+        )
