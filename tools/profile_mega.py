@@ -29,15 +29,18 @@ def timeit(label, **kw):
     scene, camera, cfg = rtiow_final_scene(width=1920, height=1080,
                                            max_bounce=4, spp=16)
     img, segs = render_frame_mega(scene, camera, cfg, jnp.uint32(0), **kw)
-    img.block_until_ready()
+    int(segs)  # blocking scalar pull = the one reliable sync through the
+    # tunnel (block_until_ready can return before server-side compute)
     n = 4
     best = float("inf")
     for _ in range(3):
         t0 = time.perf_counter()
+        total = jnp.uint32(0)
         for f in range(1, n + 1):
             img, segs = render_frame_mega(scene, camera, cfg,
                                           jnp.uint32(f), **kw)
-        img.block_until_ready()
+            total = total + segs
+        int(total)
         best = min(best, (time.perf_counter() - t0) / n)
     print(f"{label:28s} {best*1e3:8.1f} ms  segs={int(segs)}")
     return best
