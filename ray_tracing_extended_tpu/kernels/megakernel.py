@@ -172,6 +172,23 @@ def pixels_per_lane(
     return 2 if (batched and not adaptive) else 1
 
 
+def perlane_cull() -> bool:
+    """Per-row-uniform sub-cluster pops ("per-lane cull"): each 128-lane
+    row walks only the sphere sub-clusters its own lanes need instead of
+    the union of the whole tile's needs (see the perlane path in
+    ``intersect``). RTX_MEGA_PERLANE=0/1 overrides; default on - it is
+    only engaged where eligible (flat sphere cluster list, <= 24 visit
+    subs, culls on). Default off until measured on hardware."""
+    env = _os.environ.get("RTX_MEGA_PERLANE")
+    if env is None:
+        return False
+    if env not in ("0", "1"):
+        raise ValueError(
+            f"RTX_MEGA_PERLANE must be 0 or 1, got {env!r}"
+        )
+    return env == "1"
+
+
 # NEGATIVE RESULT (round 2, measured on the RTIOW 1080p headline): gating
 # row GROUPS inside a visited sub-cluster on jnp.any(mask[g0:g1]) loses at
 # every granularity - 9 rows: 399 ms, 12: 374, 18: 331, 24: 322 vs 312 ms
@@ -186,6 +203,12 @@ _INF = np.float32(np.inf)
 # within-cluster sub index (see the intersect docstring)
 _SUBM = np.int32(SUB - 1)
 _SUBMN = np.int32(~(SUB - 1))
+# De Bruijn ctz multiplier: for a 32-bit power of two L, (L * _DEBRUIJN)
+# >> 27 (logical) indexes a 32-entry table mapping to log2(L) - the
+# scalar-core bit pop of the per-lane cull drain loop. The launcher
+# composes the table with the f2b rank permutation so one SMEM load maps
+# an isolated bit straight to its cluster index (see _debruijn_ranks).
+_DEBRUIJN = np.int32(0x077CB531)
 _DET_EPS = np.float32(1e-6)
 _U = lambda x: jnp.uint32(x)
 # fparams index of the first per-frame accumulate weight (K-frame batch):
@@ -317,6 +340,7 @@ def _render_kernel(
     ohw_ref,  # (SUB, ROWS*128) f32: winner-fetch one-hot (winner mode)
     wacc1_ref,  # (16, ROWS*128) f32: winner geometry accumulator
     wacc2_ref,  # (nwf, ROWS*128) f32: winner attr accumulator
+    sbits_ref,  # SMEM (RS,) i32: per-row need bitmasks (per-lane cull)
     *,
     spp: int,
     gb: int,
@@ -351,6 +375,7 @@ def _render_kernel(
     stub_intersect: bool = False,
     dup_intersect: bool = False,
     dup_fetch: bool = False,
+    perlane: bool = False,
 ):
     pid = pl.program_id(0)
     TS = ts  # shadow: tile size is per-launch (see tile_size())
@@ -710,11 +735,97 @@ def _render_kernel(
                 visit()
             return carry
 
+        # ---- per-lane cull (per-row-uniform pops, round 3) ----
+        # The per-tile gate above makes every row pay the UNION of the
+        # whole tile's needed sub-clusters (measured 9.0 visits/slot on
+        # RTIOW 1080p, tools/perlane_sim.py replaying real segments with
+        # these exact slab semantics). Here each 128-lane row instead
+        # walks only the clusters its own lanes need: per slot, the same
+        # t-bounded slab tests build a per-row need bitmask in
+        # front-to-back RANK space ((RS, 1) lane-reduces), the masks
+        # move to SMEM scalars, and a dynamic-bound drain loop pops each
+        # row's lowest set rank on the SCALAR core - a De Bruijn ctz
+        # whose table the launcher pre-composed with the f2b
+        # permutation, so one SMEM load maps the isolated bit straight
+        # to a cluster index for the dynamic cols load. Expected
+        # iterations = max over rows of |union of the row's needs|
+        # (E 7.3 vs 9.0 simulated). Two deliberate properties:
+        #   - drained rows (bits == 0) pop bit pattern 0, whose ctz
+        #     index aliases rank 0: they harmlessly re-test the NEAREST
+        #     cluster - the encoded min-fold is idempotent - so there is
+        #     no per-row branch anywhere (a pl.when row gate costs
+        #     ~90 ns per skip, the NEGATIVE RESULT above).
+        #   - need masks are FROZEN at slot start (post-hoist best_t):
+        #     a row may visit a cluster the shrinking best_t would have
+        #     culled; frozen-mask visits are a superset, and supersets
+        #     cannot change the fold winner beyond the encode's
+        #     documented ulp-scale two-sidedness.
+        perlane_sph = (
+            perlane
+            and use_cull
+            and n_sph_supers <= 1
+            and 2 <= nss_visit <= 24
+        )
+        if perlane_sph:
+            bits_acc = None
+            cnt_acc = None
+            for r in range(nss_visit):
+                m = tile_hits(sph_bounds_ref, sperm_ref[r])
+                anyr = jnp.max(
+                    m.astype(jnp.float32), axis=1, keepdims=True
+                )  # (RS, 1)
+                w = np.float32(2.0 ** r)
+                bits_acc = (
+                    anyr * w if bits_acc is None else bits_acc + anyr * w
+                )
+                cnt_acc = anyr if cnt_acc is None else cnt_acc + anyr
+            for g in range(RS):
+                sbits_ref[g] = jnp.sum(
+                    bits_acc[g : g + 1, :]
+                ).astype(jnp.int32)
+            n_it = jnp.max(cnt_acc).astype(jnp.int32)
+
+            def drain_it(it, carry):
+                if count_visits:
+                    r_h = hist_rows - 1
+                    out_hist_ref[r_h : r_h + 1, :] = (
+                        out_hist_ref[r_h : r_h + 1, :] + 1
+                    )
+                for g in range(RS):
+                    b = sbits_ref[g]
+                    low = b & (0 - b)
+                    sbits_ref[g] = b - low
+                    # arithmetic >> then & 31 == logical >> for the
+                    # wrapped product; table slot nss_visit+j holds
+                    # sperm[rank(j)] (launcher _debruijn_ranks)
+                    j = ((low * _DEBRUIJN) >> 27) & 31
+                    c = sperm_ref[nss_visit + j]
+                    cols = sph_cols_ref[c]  # (SUB, 8)
+                    cx = cols[:, 0:1]
+                    cy = cols[:, 1:2]
+                    cz = cols[:, 2:3]
+                    r2c = cols[:, 4:5]
+                    clu_f = (c * SUB).astype(jnp.float32)
+                    idx_w = ((c << 5) | sub_iota_i) if wide else None
+                    ocx = ox[g : g + 1, :] - cx  # (SUB, 128)
+                    ocy = oy[g : g + 1, :] - cy
+                    ocz = oz[g : g + 1, :] - cz
+                    bq = (
+                        ocx * dx[g : g + 1, :]
+                        + ocy * dy[g : g + 1, :]
+                        + ocz * dz[g : g + 1, :]
+                    )
+                    ccq = ocx * ocx + ocy * ocy + ocz * ocz - r2c
+                    tq = -bq - jnp.sqrt(bq * bq - ccq)
+                    fold_pair(g, tq >= 0.0, tq, clu_f, idx_w)
+                return carry
+
+            lax.fori_loop(0, n_it, drain_it, jnp.int32(0))
         # Hierarchical cull: one slab test per super-cluster of 32 subs
         # gates the whole block (second level of the reference's chunk
         # gate). Single-super scenes keep the flat sub loop - the fixed
         # 32-sub inner loop would test padding boxes for nothing.
-        if use_cull and n_sph_supers > 1:
+        elif use_cull and n_sph_supers > 1:
 
             def sphere_super(si, carry):
                 sup = sperm_sup_ref[si]
@@ -793,7 +904,93 @@ def _render_kernel(
             return carry
 
         if "tris" in features:
-            if use_cull and n_tri_supers > 1:
+            # per-lane cull, triangle flavour: same drain scheme as the
+            # sphere branch above (sbits_ref is free again - the sphere
+            # drain completed), with the Moller-Trumbore block inlined
+            # per row under a dynamic cluster index.
+            perlane_tri = (
+                perlane
+                and use_cull
+                and n_tri_supers <= 1
+                and 2 <= nst <= 24
+            )
+            if perlane_tri:
+                bits_acc = None
+                cnt_acc = None
+                for r in range(nst):
+                    m = tile_hits(tri_bounds_ref, tperm_ref[r])
+                    anyr = jnp.max(
+                        m.astype(jnp.float32), axis=1, keepdims=True
+                    )
+                    w = np.float32(2.0 ** r)
+                    bits_acc = (
+                        anyr * w
+                        if bits_acc is None
+                        else bits_acc + anyr * w
+                    )
+                    cnt_acc = anyr if cnt_acc is None else cnt_acc + anyr
+                for g in range(RS):
+                    sbits_ref[g] = jnp.sum(
+                        bits_acc[g : g + 1, :]
+                    ).astype(jnp.int32)
+                n_it_t = jnp.max(cnt_acc).astype(jnp.int32)
+
+                def drain_tri(it, carry):
+                    if count_visits:
+                        r_h = hist_rows - 2
+                        out_hist_ref[r_h : r_h + 1, :] = (
+                            out_hist_ref[r_h : r_h + 1, :] + 1
+                        )
+                    for g in range(RS):
+                        b = sbits_ref[g]
+                        low = b & (0 - b)
+                        sbits_ref[g] = b - low
+                        j = ((low * _DEBRUIJN) >> 27) & 31
+                        c = tperm_ref[nst + j]
+                        cols = tri_cols_ref[c]  # (SUB, 16)
+                        pax, pay, paz = (
+                            cols[:, 0:1], cols[:, 1:2], cols[:, 2:3]
+                        )
+                        ex1, ey1, ez1 = (
+                            cols[:, 3:4], cols[:, 4:5], cols[:, 5:6]
+                        )
+                        ex2, ey2, ez2 = (
+                            cols[:, 6:7], cols[:, 7:8], cols[:, 8:9]
+                        )
+                        nx, ny, nz = (
+                            cols[:, 9:10], cols[:, 10:11], cols[:, 11:12]
+                        )
+                        clu_f = ((nss + c) * SUB).astype(jnp.float32)
+                        idx_w = (
+                            (((nss + c) << 5) | sub_iota_i)
+                            if wide
+                            else None
+                        )
+                        gdx = dx[g : g + 1, :]
+                        gdy = dy[g : g + 1, :]
+                        gdz = dz[g : g + 1, :]
+                        aox = ox[g : g + 1, :] - pax
+                        aoy = oy[g : g + 1, :] - pay
+                        aoz = oz[g : g + 1, :] - paz
+                        daox = aoy * gdz - aoz * gdy
+                        daoy = aoz * gdx - aox * gdz
+                        daoz = aox * gdy - aoy * gdx
+                        det = -(gdx * nx + gdy * ny + gdz * nz)
+                        t_det = aox * nx + aoy * ny + aoz * nz
+                        u_det = ex2 * daox + ey2 * daoy + ez2 * daoz
+                        v_det = -(ex1 * daox + ey1 * daoy + ez1 * daoz)
+                        w_det = det - u_det - v_det
+                        min4 = jnp.minimum(
+                            jnp.minimum(t_det, u_det),
+                            jnp.minimum(v_det, w_det),
+                        )
+                        hit = (det >= _DET_EPS) & (min4 >= 0.0)
+                        tq = t_det / det
+                        fold_pair(g, hit, tq, clu_f, idx_w)
+                    return carry
+
+                lax.fori_loop(0, n_it_t, drain_tri, jnp.int32(0))
+            elif use_cull and n_tri_supers > 1:
 
                 def tri_super(si, carry):
                     sup = tperm_sup_ref[si]
@@ -1866,6 +2063,7 @@ def render_frame_mega(
         use_cull, stub_fetch, stub_intersect, dup_intersect, dup_fetch,
         y0, band_height, collect_stats,
         None, 1, pixels_per_lane(cfg.adaptive_spp), segs_map,
+        perlane=perlane_cull(),
     )
 
 
@@ -1926,11 +2124,26 @@ def render_frames_mega(
         pixels_per_lane(
             cfg.adaptive_spp, batched=n_frames > 1, paired=paired
         ),
-        segs_map, pair_costs,
+        segs_map, pair_costs, perlane=perlane_cull(),
     )
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "ts", "phases", "interpret", "use_cull", "stub_fetch", "stub_intersect", "dup_intersect", "dup_fetch", "band_height", "collect_stats", "n_frames", "ppl", "segs_map"))
+def _debruijn_ranks() -> np.ndarray:
+    """32-entry ctz table: rank[(2^r * _DEBRUIJN) >>> 27] = r.
+
+    The per-lane cull drain composes this with the front-to-back sub
+    permutation (sperm[rank[...]]) so the kernel's scalar pop resolves
+    an isolated need bit to a cluster index with a single SMEM load."""
+    idx = (
+        (np.uint32(1) << np.arange(32, dtype=np.uint32))
+        * np.uint32(0x077CB531)
+    ) >> np.uint32(27)
+    rank = np.zeros(32, np.int32)
+    rank[idx.astype(np.int64)] = np.arange(32, dtype=np.int32)
+    return rank
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "ts", "phases", "interpret", "use_cull", "stub_fetch", "stub_intersect", "dup_intersect", "dup_fetch", "band_height", "collect_stats", "n_frames", "ppl", "segs_map", "perlane"))
 def _render_frame_mega_ts(
     scene: Scene,
     camera,
@@ -1952,6 +2165,7 @@ def _render_frame_mega_ts(
     ppl: int = 1,
     segs_map: bool = False,
     pair_costs=None,
+    perlane: bool = False,
 ):
     import math as _math
 
@@ -2044,12 +2258,37 @@ def _render_frame_mega_ts(
         # hoisted spheres (trailing subs past n_sphere_subs_visit) are
         # tested from SMEM params, not the cluster loop
         sperm = _f2b(p.sph_sub_bounds[: max(p.n_sphere_subs_visit, 1)])
+    perlane_sph_ok = (
+        perlane
+        and use_cull
+        and p.n_sphere_supers <= 1
+        and 2 <= p.n_sphere_subs_visit <= 24
+    )
+    perlane_tri_ok = (
+        perlane
+        and use_cull
+        and "tris" in p.features
+        and p.n_tri_supers <= 1
+        and 2 <= p.n_tri_subs <= 24
+    )
+    use_perlane = perlane_sph_ok or perlane_tri_ok
+    if perlane_sph_ok:
+        # drain-loop ctz table, composed with the f2b order: slot
+        # nss_visit + j maps De Bruijn index j to its cluster. Ranks
+        # beyond the visit count never arise (those bits are never set);
+        # clamping keeps the take in range. Index 0 doubles as the
+        # drained-row (bits == 0) alias - rank 0, the nearest cluster.
+        ranks = np.minimum(_debruijn_ranks(), p.n_sphere_subs_visit - 1)
+        sperm = jnp.concatenate([sperm, sperm[jnp.asarray(ranks)]])
     sperm_sup = _f2b(p.sph_super_bounds)
     if p.n_tri_supers > 1:
         tperm = _f2b_within(p.tri_sub_bounds, p.n_tri_supers)
     else:
         tperm = _f2b(p.tri_sub_bounds[: max(p.n_tri_subs, 1)])
     tperm_sup = _f2b(p.tri_super_bounds)
+    if perlane_tri_ok:
+        ranks_t = np.minimum(_debruijn_ranks(), p.n_tri_subs - 1)
+        tperm = jnp.concatenate([tperm, tperm[jnp.asarray(ranks_t)]])
 
     # ---- cost-guided lane pairing (multi-pixel lanes) ----
     # pair_costs: (H, W) per-pixel cost signal (segment counts from a
@@ -2139,6 +2378,7 @@ def _render_frame_mega_ts(
         stub_intersect=stub_intersect,
         dup_intersect=dup_intersect,
         dup_fetch=dup_fetch,
+        perlane=use_perlane,
     )
     full = lambda a: pl.BlockSpec(
         a.shape,
@@ -2244,6 +2484,9 @@ def _render_frame_mega_ts(
                 (nwf, (RS if p.fetch_mode == "winner" else 1) * LANES),
                 jnp.float32,
             ),  # winner attr acc
+            # per-row need bitmasks for the per-lane cull drain loop
+            # (token-sized when the path is off)
+            pltpu.SMEM((RS if use_perlane else 1,), jnp.int32),
         ],
     )
     r, g, b, segs, hist = pl.pallas_call(

@@ -412,3 +412,75 @@ def test_cluster_slots_invariants():
             pack._cluster_sa(fin, lo, hi, k)
             <= pack._cluster_sa(minit, lo, hi, k) + 1e-3
         )
+
+
+def test_mega_perlane_cull_matches_default(monkeypatch):
+    """RTX_MEGA_PERLANE=1 (per-row-uniform sub-cluster pops): each
+    128-lane row drains only its own needed clusters via scalar-core
+    bit pops instead of riding the whole tile's visit union. The
+    frozen-at-slot-start need masks make its visit set a SUPERSET of the
+    default path's, and a min-fold over a superset can only differ
+    within the encode's documented ulp-scale slack - in practice the
+    frames agree bit-for-bit at this size (measured; assert near-equal
+    to stay robust to knife-edge winner flips)."""
+    import os
+
+    from ray_tracing_extended_tpu.models.presets import rtiow_final_scene
+
+    scene, cam, cfg = rtiow_final_scene(
+        width=96, height=48, max_bounce=2, spp=1
+    )
+    p = scene.packed
+    assert p.n_sphere_supers <= 1 and p.n_sphere_subs_visit >= 2, (
+        "preset no longer exercises the per-lane cull eligibility"
+    )
+    monkeypatch.setitem(os.environ, "RTX_MEGA_PERLANE", "0")
+    a, _ = render_frame_mega(scene, cam, cfg, jnp.uint32(2), interpret=True)
+    monkeypatch.setitem(os.environ, "RTX_MEGA_PERLANE", "1")
+    b, segs = render_frame_mega(
+        scene, cam, cfg, jnp.uint32(2), interpret=True
+    )
+    a, b = np.asarray(a), np.asarray(b)
+    assert int(segs) > 0
+    d = np.abs(a - b).max(axis=-1)
+    assert (d == 0).mean() > 0.999, f"pixels differing: {(d > 0).mean()}"
+    assert np.abs(a - b).mean() < 1e-4
+
+
+def test_mega_perlane_cull_tri_matches_default(monkeypatch):
+    """Triangle flavour of the per-lane cull drain (Cornell: 4 tri subs
+    + 4 sphere subs, both branches eligible, wide encode)."""
+    import os
+
+    from ray_tracing_extended_tpu.models.presets import cornell_box_scene
+
+    scene, cam, cfg = cornell_box_scene(
+        width=64, height=64, max_bounce=3, spp=1
+    )
+    p = scene.packed
+    assert p.n_tri_supers <= 1 and 2 <= p.n_tri_subs <= 24
+    monkeypatch.setitem(os.environ, "RTX_MEGA_PERLANE", "0")
+    a, _ = render_frame_mega(scene, cam, cfg, jnp.uint32(1), interpret=True)
+    monkeypatch.setitem(os.environ, "RTX_MEGA_PERLANE", "1")
+    b, segs = render_frame_mega(
+        scene, cam, cfg, jnp.uint32(1), interpret=True
+    )
+    a, b = np.asarray(a), np.asarray(b)
+    assert int(segs) > 0
+    d = np.abs(a - b).max(axis=-1)
+    assert (d == 0).mean() > 0.999, f"pixels differing: {(d > 0).mean()}"
+    assert np.abs(a - b).mean() < 1e-4
+
+
+def test_mega_perlane_knob_validated(monkeypatch):
+    import os
+
+    from ray_tracing_extended_tpu.kernels.megakernel import perlane_cull
+
+    monkeypatch.setitem(os.environ, "RTX_MEGA_PERLANE", "2")
+    with pytest.raises(ValueError, match="RTX_MEGA_PERLANE"):
+        perlane_cull()
+    monkeypatch.setitem(os.environ, "RTX_MEGA_PERLANE", "1")
+    assert perlane_cull() is True
+    monkeypatch.delitem(os.environ, "RTX_MEGA_PERLANE")
+    assert perlane_cull() is False
