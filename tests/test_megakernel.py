@@ -472,6 +472,41 @@ def test_mega_perlane_cull_tri_matches_default(monkeypatch):
     assert np.abs(a - b).mean() < 1e-4
 
 
+def test_mega_perlane_cull_batched_paired(monkeypatch):
+    """Per-lane cull under the parity production path: K-frame batched
+    launch with multi-pixel lanes and cost-guided pairing. The drain
+    scheme is agnostic to the lane->pixel mapping, so the accumulator
+    must match the default path's exactly as in the single-frame case."""
+    import os
+
+    from ray_tracing_extended_tpu.kernels.megakernel import (
+        render_frames_mega,
+    )
+    from ray_tracing_extended_tpu.models.presets import rtiow_final_scene
+
+    scene, cam, cfg = rtiow_final_scene(
+        width=64, height=32, max_bounce=2, spp=1
+    )
+    monkeypatch.setitem(os.environ, "RTX_MEGA_TS", "32")
+    monkeypatch.setitem(os.environ, "RTX_MEGA_PPL", "2")
+    rng = np.random.default_rng(3)
+    costs = jnp.asarray(
+        rng.integers(0, 50, size=(32, 64)).astype(np.int32)
+    )
+    outs = {}
+    for knob in ("0", "1"):
+        monkeypatch.setitem(os.environ, "RTX_MEGA_PERLANE", knob)
+        acc = jnp.zeros((32, 64, 3), jnp.float32)
+        acc, segs, m = render_frames_mega(
+            scene, cam, cfg, jnp.uint32(1), acc, 2,
+            interpret=True, segs_map=True, pair_costs=costs,
+        )
+        outs[knob] = (np.asarray(acc), int(segs), np.asarray(m))
+    d = np.abs(outs["0"][0] - outs["1"][0]).max(axis=-1)
+    assert (d == 0).mean() > 0.999, f"pixels differing: {(d > 0).mean()}"
+    np.testing.assert_array_equal(outs["0"][2], outs["1"][2])
+
+
 def test_mega_perlane_knob_validated(monkeypatch):
     import os
 
