@@ -178,6 +178,33 @@ def _euler_xyz_matrix(deg):
     return mz @ my @ mx  # FBX default rotation order XYZ (applied x first)
 
 
+def _model_world_affine(mid, models, parent_of):
+    """Compose a model's TRS chain leaf->root into a column-form affine
+    pair ``(L, Ln, t)``: ``v_world = L @ v_local + t``; ``Ln`` is the
+    same linear part with per-model scales clamped away from zero (the
+    normal transform inverts it, and a degenerate authored scale should
+    collapse geometry without emitting NaN normals).
+
+    FBX nests models via OO connections, each ``Lcl`` TRS relative to
+    its parent model. The five reference assets are single-model
+    (ROADMAP follow-up); nested files compose here. Cycle-guarded, so
+    malformed parent links terminate."""
+    L = np.eye(3)
+    Ln = np.eye(3)
+    t = np.zeros(3)
+    seen = set()
+    m = mid
+    while m in models and m not in seen:
+        seen.add(m)
+        tm, rm, sm = _model_trs(models[m])
+        lm = rm * sm  # rm @ diag(sm)
+        L = lm @ L
+        Ln = (rm * np.maximum(sm, 1e-20)) @ Ln
+        t = lm @ t + np.asarray(tm, np.float64)
+        m = parent_of.get(m)
+    return L, Ln, t
+
+
 def load_fbx(path):
     """Load a binary FBX -> (vertices (V, 3) f32, faces (F, 3) i32,
     normals (V, 3) f32 or None).
@@ -213,13 +240,19 @@ def load_fbx(path):
         elif node.name == "Model":
             models[node.props[0]] = node
 
-    # geometry id -> model id via Connections (OO links)
+    # geometry id -> model id and model id -> parent model id via
+    # Connections (OO links; a model's parent of 0 is the scene root)
     geo_model = {}
+    parent_of = {}
     for top in root.children:
         if top.name == "Connections":
             for c in top.find("C"):
-                if len(c.props) >= 3 and c.props[1] in geoms and c.props[2] in models:
+                if len(c.props) < 3:
+                    continue
+                if c.props[1] in geoms and c.props[2] in models:
                     geo_model[c.props[1]] = c.props[2]
+                elif c.props[1] in models and c.props[2] in models:
+                    parent_of[c.props[1]] = c.props[2]
 
     all_v, all_f, all_n = [], [], []
     v_off = 0
@@ -252,17 +285,21 @@ def load_fbx(path):
             elif mapping == "ByVertice" and len(nrm) == len(verts):
                 normals = nrm
 
-        # model transform
-        t = np.zeros(3)
-        rot = np.eye(3)
-        s = np.ones(3)
+        # model transform (nested models compose up the parent chain)
         mid = geo_model.get(gid)
-        if mid is not None and mid in models:
-            t, rot, s = _model_trs(models[mid])
-        verts = (verts * s) @ rot.T + t
+        lin, lin_n, t = _model_world_affine(mid, models, parent_of)
+        verts = verts @ lin.T + t
         verts = verts * unit_scale
         if normals is not None:
-            normals = normals @ np.linalg.inv(rot * np.maximum(s, 1e-20)).T
+            # Row-vector normal transform: with column-form linear part
+            # L (verts map as v @ L.T), normals map by the
+            # inverse-transpose, which in ROW form is n @ inv(L) -
+            # NOT n @ inv(L).T, which applies the rotation BACKWARDS
+            # (caught by the mean dot(geometric, shading) check in
+            # tests/test_scene_io.py: -0.39 on Suzanne before, +0.88
+            # after; the parity oracle shares whatever the loader
+            # produces, so only a geometry cross-check can see this).
+            normals = normals @ np.linalg.inv(lin_n)
             nlen = np.linalg.norm(normals, axis=1, keepdims=True)
             normals = normals / np.maximum(nlen, 1e-20)
 
