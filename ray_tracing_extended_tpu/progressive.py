@@ -37,6 +37,7 @@ def render_progressive(
     cameras=None,
     mesh=None,
     batch: int = 1,
+    reset_on_move: bool = False,
 ):
     """Accumulate ``frames`` frames and return the (H, W, 3) average.
 
@@ -53,7 +54,15 @@ def render_progressive(
     BASELINE config 5). With a static camera the running average converges
     to the scene's radiance; with per-frame cameras each frame still folds
     with the reference weighting (matching its behavior when the camera
-    moves - SURVEY.md section 3.4).
+    moves - SURVEY.md section 3.4: the reference keeps averaging into
+    stale history, ghosting by design).
+
+    ``reset_on_move``: opt-out of that ghosting (extension; requires
+    ``cameras``): whenever the camera differs from the previous frame's,
+    the running average restarts, so the result is the converged average
+    of the TRAILING run of identical cameras. Frames within a run fold
+    with the same weights as a fresh static render (the per-frame clamp
+    included), and the Welford variance signal restarts with the run.
 
     ``mesh``: optional jax.sharding.Mesh ('spp', 'tiles') - each frame
     renders multi-chip via the sharded megakernel (horizontal bands over
@@ -65,11 +74,18 @@ def render_progressive(
     weighting exactly only without the per-frame clamp - HDR mode
     (clamp_accumulate=False) is required then.
     """
+    if reset_on_move and cameras is None:
+        raise ValueError("reset_on_move requires a cameras sequence")
     if mesh is not None:
         if batch > 1:
             raise ValueError(
                 "batch > 1 is single-chip only for now; the sharded "
                 "band path renders per frame"
+            )
+        if reset_on_move:
+            raise ValueError(
+                "reset_on_move is single-chip only for now (the sharded "
+                "path folds spp_size frames per step)"
             )
         return _render_progressive_sharded(
             scene, camera, cfg, frames, mesh,
@@ -141,19 +157,46 @@ def render_progressive(
             ckpt.save(checkpoint_path, np.asarray(accum), end, fingerprint)
         return np.asarray(accum)
 
+    def _same_cam(a, b):
+        import jax
+
+        la = jax.tree_util.tree_leaves(a)
+        lb = jax.tree_util.tree_leaves(b)
+        return len(la) == len(lb) and all(
+            np.array_equal(np.asarray(x), np.asarray(y))
+            for x, y in zip(la, lb)
+        )
+
+    # seg0 = first frame of the current same-camera run (reset_on_move);
+    # on resume, back-scan so mid-run checkpoints keep exact weights
+    seg0 = start_frame
+    if reset_on_move:
+        while seg0 > 0 and _same_cam(cameras[seg0 - 1], cameras[seg0]):
+            seg0 -= 1
+
     # Welford running second moment across frames: var(mean) ~= mean(M2) /
     # (n (n - 1)) is the MC convergence signal promised in SURVEY section 5.
     m2 = jnp.zeros_like(accum)
     want_stats = metrics is not None
     for f in range(start_frame, start_frame + frames):
         cam = cameras[f] if cameras is not None else camera
+        if reset_on_move and f > start_frame and not _same_cam(
+            cameras[f - 1], cam
+        ):
+            seg0 = f
+            m2 = jnp.zeros_like(accum)
         t0 = time.perf_counter()
         out = render_frame_with_stats(
             scene, cam, cfg, jnp.uint32(f), bounce_stats=want_stats
         )
         cur, segs = out[0], out[1]
         prev = accum
-        accum = accumulate(accum, cur, f, clamp=cfg.clamp_accumulate)
+        # reset_on_move folds with run-relative weights (a fresh render
+        # of the run); otherwise the reference's global 1/(f+1)
+        accum = accumulate(
+            accum, cur, (f - seg0) if reset_on_move else f,
+            clamp=cfg.clamp_accumulate,
+        )
         m2 = m2 + (cur - prev) * (cur - accum)
         segs = int(segs)  # blocks until the frame is done
         wall = time.perf_counter() - t0
@@ -163,7 +206,12 @@ def render_progressive(
             extra = {
                 "alive_frac": [round(c / paths, 4) for c in counts.tolist()],
             }
-            n = f - start_frame + 1
+            # frames covered by m2: since the last camera move (reset
+            # mode) or since this invocation started (resume restarts
+            # the variance signal, not the average)
+            n = f - max(seg0, start_frame) + 1 if reset_on_move else (
+                f - start_frame + 1
+            )
             if n >= 2:
                 extra["accum_var"] = float(
                     jnp.mean(m2) / (n * (n - 1))

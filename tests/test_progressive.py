@@ -89,3 +89,37 @@ def test_render_progressive_batched_matches_per_frame(tmp_path):
     a = render_progressive(scene, cam, cfg, frames=5)
     b = render_progressive(scene, cam, cfg, frames=5, batch=2)
     np.testing.assert_allclose(a, b, rtol=0, atol=2e-6)
+
+
+def test_reset_on_move_restarts_accumulation():
+    """reset_on_move (ghosting opt-out extension): when the camera
+    changes, the running average restarts, so the result equals a fresh
+    progressive render of the trailing same-camera run - bit-identical,
+    including the per-frame clamp weights. The default path keeps the
+    reference's ghosting-by-design global weights (SURVEY section 3.4)."""
+    import jax.numpy as jnp
+
+    from ray_tracing_extended_tpu.models.presets import flythrough_cameras
+    from ray_tracing_extended_tpu.ops.accumulate import accumulate
+    from ray_tracing_extended_tpu.render import render_frame_with_stats
+
+    scene, cams, cfg = flythrough_cameras(2, width=48, height=32)
+    cfg = type(cfg)(**{**cfg.__dict__, "spp": 1, "max_bounce": 2})
+    path = [cams[0], cams[0], cams[1], cams[1]]
+
+    got = render_progressive(
+        scene, None, cfg, frames=4, cameras=path, reset_on_move=True
+    )
+    # manual: the trailing run (frames 2, 3 under cams[1]) folded with
+    # run-relative weights 1/1, 1/2
+    acc = jnp.zeros((cfg.height, cfg.width, 3), jnp.float32)
+    for k, f in enumerate((2, 3)):
+        cur, _ = render_frame_with_stats(
+            scene, cams[1], cfg, jnp.uint32(f)
+        )
+        acc = accumulate(acc, cur, k, clamp=cfg.clamp_accumulate)
+    np.testing.assert_array_equal(got, np.asarray(acc))
+
+    with pytest.raises(ValueError, match="reset_on_move requires"):
+        render_progressive(scene, cams[0], cfg, frames=1,
+                           reset_on_move=True)
