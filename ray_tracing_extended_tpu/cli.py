@@ -119,6 +119,8 @@ def cmd_render(args):
         args.frames = args.flythrough
         cam = cameras[0]
     mesh = _parse_mesh(args.mesh) if args.mesh else None
+    if args.reset_on_move and cameras is None:
+        raise SystemExit("--reset-on-move needs --flythrough N")
     if cam is None:
         raise SystemExit("scene has no camera; pass a preset or add one")
     metrics = MetricsLogger(args.metrics, echo=args.verbose)
@@ -142,6 +144,7 @@ def cmd_render(args):
             cameras=cameras,
             mesh=mesh,
             batch=args.batch,
+            reset_on_move=args.reset_on_move,
         )
     metrics.close()
     if args.out:
@@ -252,6 +255,11 @@ def main(argv=None):
         "--flythrough", type=int, default=0, metavar="N",
         help="render an N-frame config-5 camera fly-through (circular "
              "dolly with defocus; scaled for preset:rtiow)")
+    r.add_argument(
+        "--reset-on-move", dest="reset_on_move", action="store_true",
+        help="restart accumulation when the fly-through camera moves "
+             "(extension; default reproduces the reference's "
+             "ghosting-by-design averaging)")
     r.add_argument(
         "--mesh", default=None, metavar="SPPxTILES",
         help="multi-chip mesh, e.g. 1x4 (4 chips shard image bands) or "

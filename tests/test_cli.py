@@ -124,3 +124,25 @@ def test_cli_render_batched(tmp_path):
     a, b = np.load(out_a), np.load(out_b)
     assert a.shape == (24, 48, 3)
     np.testing.assert_allclose(a, b, rtol=0, atol=2e-6)
+
+
+def test_cli_flythrough_reset_on_move(tmp_path):
+    out = tmp_path / "fly.npy"
+    rc = main([
+        "render", "--scene", "preset:rtiow", "--width", "48",
+        "--height", "32", "--spp", "1", "--max-bounce", "2",
+        "--flythrough", "2", "--reset-on-move", "--out", str(out),
+    ])
+    assert rc == 0
+    import numpy as np
+
+    img = np.load(out)
+    assert img.shape == (32, 48, 3) and not np.isnan(img).any()
+
+
+def test_cli_reset_on_move_needs_flythrough():
+    import pytest
+
+    with pytest.raises(SystemExit, match="flythrough"):
+        main(["render", "--scene", "preset:three_sphere",
+              "--reset-on-move"])
