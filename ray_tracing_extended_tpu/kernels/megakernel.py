@@ -172,21 +172,22 @@ def pixels_per_lane(
     return 2 if (batched and not adaptive) else 1
 
 
-def perlane_cull() -> bool:
+def perlane_cull() -> int:
     """Per-row-uniform sub-cluster pops ("per-lane cull"): each 128-lane
-    row walks only the sphere sub-clusters its own lanes need instead of
-    the union of the whole tile's needs (see the perlane path in
-    ``intersect``). RTX_MEGA_PERLANE=0/1 overrides; default on - it is
-    only engaged where eligible (flat sphere cluster list, <= 24 visit
-    subs, culls on). Default off until measured on hardware."""
+    row walks only the sub-clusters its own lanes need instead of the
+    union of the whole tile's needs (see ``perlane_drain`` in the
+    kernel). 0 = off, 1 = frozen need masks, 2 = masks re-tightened
+    once after the first pop round. RTX_MEGA_PERLANE overrides; only
+    engaged where eligible (flat cluster list, 2..24 subs, culls on).
+    Default off until measured on hardware."""
     env = _os.environ.get("RTX_MEGA_PERLANE")
     if env is None:
-        return False
-    if env not in ("0", "1"):
+        return 0
+    if env not in ("0", "1", "2"):
         raise ValueError(
-            f"RTX_MEGA_PERLANE must be 0 or 1, got {env!r}"
+            f"RTX_MEGA_PERLANE must be 0, 1 or 2, got {env!r}"
         )
-    return env == "1"
+    return int(env)
 
 
 # NEGATIVE RESULT (round 2, measured on the RTIOW 1080p headline): gating
@@ -341,6 +342,7 @@ def _render_kernel(
     wacc1_ref,  # (16, ROWS*128) f32: winner geometry accumulator
     wacc2_ref,  # (nwf, ROWS*128) f32: winner attr accumulator
     sbits_ref,  # SMEM (RS,) i32: per-row need bitmasks (per-lane cull)
+    spop_ref,  # SMEM (RS,) i32: first-round popped bits (perlane mode 2)
     *,
     spp: int,
     gb: int,
@@ -375,7 +377,7 @@ def _render_kernel(
     stub_intersect: bool = False,
     dup_intersect: bool = False,
     dup_fetch: bool = False,
-    perlane: bool = False,
+    perlane: int = 0,
 ):
     pid = pl.program_id(0)
     TS = ts  # shadow: tile size is per-launch (see tile_size())
@@ -755,11 +757,83 @@ def _render_kernel(
         #     cluster - the encoded min-fold is idempotent - so there is
         #     no per-row branch anywhere (a pl.when row gate costs
         #     ~90 ns per skip, the NEGATIVE RESULT above).
-        #   - need masks are FROZEN at slot start (post-hoist best_t):
-        #     a row may visit a cluster the shrinking best_t would have
-        #     culled; frozen-mask visits are a superset, and supersets
-        #     cannot change the fold winner beyond the encode's
-        #     documented ulp-scale two-sidedness.
+        #   - need masks are FROZEN at slot start (post-hoist best_t) in
+        #     mode 1: a row may visit a cluster the shrinking best_t
+        #     would have culled; frozen-mask visits are a superset, and
+        #     supersets cannot change the fold winner beyond the
+        #     encode's documented ulp-scale two-sidedness. Mode 2
+        #     (RTX_MEGA_PERLANE=2) REBUILDS the masks once after the
+        #     first pop round - by then every row has folded its nearest
+        #     cluster, so the t-bounded slab re-test drops most of the
+        #     frozen-mask excess (simulated 7.27 -> ~6 iterations; the
+        #     rebuild costs ~0.25 visit-equivalents of slab tests).
+        def perlane_drain(bounds_ref_, perm_ref_, k_, visit_row, hist_r):
+            def build_bits():
+                ba, ca = None, None
+                for r in range(k_):
+                    m = tile_hits(bounds_ref_, perm_ref_[r])
+                    anyr = jnp.max(
+                        m.astype(jnp.float32), axis=1, keepdims=True
+                    )  # (RS, 1)
+                    w = np.float32(2.0 ** r)
+                    ba = anyr * w if ba is None else ba + anyr * w
+                    ca = anyr if ca is None else ca + anyr
+                return ba, ca
+
+            def pop_visit(g, record):
+                b = sbits_ref[g]
+                low = b & (0 - b)
+                sbits_ref[g] = b - low
+                if record:
+                    spop_ref[g] = low
+                # arithmetic >> then & 31 == logical >> for the wrapped
+                # product; table slot k_+j holds perm[rank(j)] (launcher
+                # _debruijn_ranks)
+                j = ((low * _DEBRUIJN) >> 27) & 31
+                visit_row(g, perm_ref_[k_ + j])
+
+            def count_hist():
+                if count_visits:
+                    out_hist_ref[hist_r : hist_r + 1, :] = (
+                        out_hist_ref[hist_r : hist_r + 1, :] + 1
+                    )
+
+            bits_acc, cnt_acc = build_bits()
+            for g in range(RS):
+                sbits_ref[g] = jnp.sum(
+                    bits_acc[g : g + 1, :]
+                ).astype(jnp.int32)
+            if perlane >= 2:
+                # one pop round, then re-tighten: rebuild the masks
+                # under the now-shrunk best_t, clear each row's already
+                # popped rank (its slab still passes - the fold hit it),
+                # and recount scalar-side (SWAR popcount + max chain).
+                count_hist()
+                for g in range(RS):
+                    pop_visit(g, True)
+                bits2, _ = build_bits()
+                n_it = jnp.int32(0)
+                for g in range(RS):
+                    b2 = jnp.sum(bits2[g : g + 1, :]).astype(jnp.int32)
+                    b2 = b2 & ~spop_ref[g]
+                    sbits_ref[g] = b2
+                    x = b2 - ((b2 >> 1) & 0x55555555)
+                    x = (x & 0x33333333) + ((x >> 2) & 0x33333333)
+                    x = (x + (x >> 4)) & 0x0F0F0F0F
+                    n_it = jnp.maximum(
+                        n_it, ((x * 0x01010101) >> 24) & 63
+                    )
+            else:
+                n_it = jnp.max(cnt_acc).astype(jnp.int32)
+
+            def drain_it(it, carry):
+                count_hist()
+                for g in range(RS):
+                    pop_visit(g, False)
+                return carry
+
+            lax.fori_loop(0, n_it, drain_it, jnp.int32(0))
+
         perlane_sph = (
             perlane
             and use_cull
@@ -767,60 +841,31 @@ def _render_kernel(
             and 2 <= nss_visit <= 24
         )
         if perlane_sph:
-            bits_acc = None
-            cnt_acc = None
-            for r in range(nss_visit):
-                m = tile_hits(sph_bounds_ref, sperm_ref[r])
-                anyr = jnp.max(
-                    m.astype(jnp.float32), axis=1, keepdims=True
-                )  # (RS, 1)
-                w = np.float32(2.0 ** r)
-                bits_acc = (
-                    anyr * w if bits_acc is None else bits_acc + anyr * w
+
+            def sph_visit_row(g, c):
+                cols = sph_cols_ref[c]  # (SUB, 8)
+                cx = cols[:, 0:1]
+                cy = cols[:, 1:2]
+                cz = cols[:, 2:3]
+                r2c = cols[:, 4:5]
+                clu_f = (c * SUB).astype(jnp.float32)
+                idx_w = ((c << 5) | sub_iota_i) if wide else None
+                ocx = ox[g : g + 1, :] - cx  # (SUB, 128)
+                ocy = oy[g : g + 1, :] - cy
+                ocz = oz[g : g + 1, :] - cz
+                bq = (
+                    ocx * dx[g : g + 1, :]
+                    + ocy * dy[g : g + 1, :]
+                    + ocz * dz[g : g + 1, :]
                 )
-                cnt_acc = anyr if cnt_acc is None else cnt_acc + anyr
-            for g in range(RS):
-                sbits_ref[g] = jnp.sum(
-                    bits_acc[g : g + 1, :]
-                ).astype(jnp.int32)
-            n_it = jnp.max(cnt_acc).astype(jnp.int32)
+                ccq = ocx * ocx + ocy * ocy + ocz * ocz - r2c
+                tq = -bq - jnp.sqrt(bq * bq - ccq)
+                fold_pair(g, tq >= 0.0, tq, clu_f, idx_w)
 
-            def drain_it(it, carry):
-                if count_visits:
-                    r_h = hist_rows - 1
-                    out_hist_ref[r_h : r_h + 1, :] = (
-                        out_hist_ref[r_h : r_h + 1, :] + 1
-                    )
-                for g in range(RS):
-                    b = sbits_ref[g]
-                    low = b & (0 - b)
-                    sbits_ref[g] = b - low
-                    # arithmetic >> then & 31 == logical >> for the
-                    # wrapped product; table slot nss_visit+j holds
-                    # sperm[rank(j)] (launcher _debruijn_ranks)
-                    j = ((low * _DEBRUIJN) >> 27) & 31
-                    c = sperm_ref[nss_visit + j]
-                    cols = sph_cols_ref[c]  # (SUB, 8)
-                    cx = cols[:, 0:1]
-                    cy = cols[:, 1:2]
-                    cz = cols[:, 2:3]
-                    r2c = cols[:, 4:5]
-                    clu_f = (c * SUB).astype(jnp.float32)
-                    idx_w = ((c << 5) | sub_iota_i) if wide else None
-                    ocx = ox[g : g + 1, :] - cx  # (SUB, 128)
-                    ocy = oy[g : g + 1, :] - cy
-                    ocz = oz[g : g + 1, :] - cz
-                    bq = (
-                        ocx * dx[g : g + 1, :]
-                        + ocy * dy[g : g + 1, :]
-                        + ocz * dz[g : g + 1, :]
-                    )
-                    ccq = ocx * ocx + ocy * ocy + ocz * ocz - r2c
-                    tq = -bq - jnp.sqrt(bq * bq - ccq)
-                    fold_pair(g, tq >= 0.0, tq, clu_f, idx_w)
-                return carry
-
-            lax.fori_loop(0, n_it, drain_it, jnp.int32(0))
+            perlane_drain(
+                sph_bounds_ref, sperm_ref, nss_visit, sph_visit_row,
+                hist_rows - 1,
+            )
         # Hierarchical cull: one slab test per super-cluster of 32 subs
         # gates the whole block (second level of the reference's chunk
         # gate). Single-super scenes keep the flat sub loop - the fixed
@@ -915,81 +960,51 @@ def _render_kernel(
                 and 2 <= nst <= 24
             )
             if perlane_tri:
-                bits_acc = None
-                cnt_acc = None
-                for r in range(nst):
-                    m = tile_hits(tri_bounds_ref, tperm_ref[r])
-                    anyr = jnp.max(
-                        m.astype(jnp.float32), axis=1, keepdims=True
-                    )
-                    w = np.float32(2.0 ** r)
-                    bits_acc = (
-                        anyr * w
-                        if bits_acc is None
-                        else bits_acc + anyr * w
-                    )
-                    cnt_acc = anyr if cnt_acc is None else cnt_acc + anyr
-                for g in range(RS):
-                    sbits_ref[g] = jnp.sum(
-                        bits_acc[g : g + 1, :]
-                    ).astype(jnp.int32)
-                n_it_t = jnp.max(cnt_acc).astype(jnp.int32)
 
-                def drain_tri(it, carry):
-                    if count_visits:
-                        r_h = hist_rows - 2
-                        out_hist_ref[r_h : r_h + 1, :] = (
-                            out_hist_ref[r_h : r_h + 1, :] + 1
-                        )
-                    for g in range(RS):
-                        b = sbits_ref[g]
-                        low = b & (0 - b)
-                        sbits_ref[g] = b - low
-                        j = ((low * _DEBRUIJN) >> 27) & 31
-                        c = tperm_ref[nst + j]
-                        cols = tri_cols_ref[c]  # (SUB, 16)
-                        pax, pay, paz = (
-                            cols[:, 0:1], cols[:, 1:2], cols[:, 2:3]
-                        )
-                        ex1, ey1, ez1 = (
-                            cols[:, 3:4], cols[:, 4:5], cols[:, 5:6]
-                        )
-                        ex2, ey2, ez2 = (
-                            cols[:, 6:7], cols[:, 7:8], cols[:, 8:9]
-                        )
-                        nx, ny, nz = (
-                            cols[:, 9:10], cols[:, 10:11], cols[:, 11:12]
-                        )
-                        clu_f = ((nss + c) * SUB).astype(jnp.float32)
-                        idx_w = (
-                            (((nss + c) << 5) | sub_iota_i)
-                            if wide
-                            else None
-                        )
-                        gdx = dx[g : g + 1, :]
-                        gdy = dy[g : g + 1, :]
-                        gdz = dz[g : g + 1, :]
-                        aox = ox[g : g + 1, :] - pax
-                        aoy = oy[g : g + 1, :] - pay
-                        aoz = oz[g : g + 1, :] - paz
-                        daox = aoy * gdz - aoz * gdy
-                        daoy = aoz * gdx - aox * gdz
-                        daoz = aox * gdy - aoy * gdx
-                        det = -(gdx * nx + gdy * ny + gdz * nz)
-                        t_det = aox * nx + aoy * ny + aoz * nz
-                        u_det = ex2 * daox + ey2 * daoy + ez2 * daoz
-                        v_det = -(ex1 * daox + ey1 * daoy + ez1 * daoz)
-                        w_det = det - u_det - v_det
-                        min4 = jnp.minimum(
-                            jnp.minimum(t_det, u_det),
-                            jnp.minimum(v_det, w_det),
-                        )
-                        hit = (det >= _DET_EPS) & (min4 >= 0.0)
-                        tq = t_det / det
-                        fold_pair(g, hit, tq, clu_f, idx_w)
-                    return carry
+                def tri_visit_row(g, c):
+                    cols = tri_cols_ref[c]  # (SUB, 16)
+                    pax, pay, paz = (
+                        cols[:, 0:1], cols[:, 1:2], cols[:, 2:3]
+                    )
+                    ex1, ey1, ez1 = (
+                        cols[:, 3:4], cols[:, 4:5], cols[:, 5:6]
+                    )
+                    ex2, ey2, ez2 = (
+                        cols[:, 6:7], cols[:, 7:8], cols[:, 8:9]
+                    )
+                    nx, ny, nz = (
+                        cols[:, 9:10], cols[:, 10:11], cols[:, 11:12]
+                    )
+                    clu_f = ((nss + c) * SUB).astype(jnp.float32)
+                    idx_w = (
+                        (((nss + c) << 5) | sub_iota_i) if wide else None
+                    )
+                    gdx = dx[g : g + 1, :]
+                    gdy = dy[g : g + 1, :]
+                    gdz = dz[g : g + 1, :]
+                    aox = ox[g : g + 1, :] - pax
+                    aoy = oy[g : g + 1, :] - pay
+                    aoz = oz[g : g + 1, :] - paz
+                    daox = aoy * gdz - aoz * gdy
+                    daoy = aoz * gdx - aox * gdz
+                    daoz = aox * gdy - aoy * gdx
+                    det = -(gdx * nx + gdy * ny + gdz * nz)
+                    t_det = aox * nx + aoy * ny + aoz * nz
+                    u_det = ex2 * daox + ey2 * daoy + ez2 * daoz
+                    v_det = -(ex1 * daox + ey1 * daoy + ez1 * daoz)
+                    w_det = det - u_det - v_det
+                    min4 = jnp.minimum(
+                        jnp.minimum(t_det, u_det),
+                        jnp.minimum(v_det, w_det),
+                    )
+                    hit = (det >= _DET_EPS) & (min4 >= 0.0)
+                    tq = t_det / det
+                    fold_pair(g, hit, tq, clu_f, idx_w)
 
-                lax.fori_loop(0, n_it_t, drain_tri, jnp.int32(0))
+                perlane_drain(
+                    tri_bounds_ref, tperm_ref, nst, tri_visit_row,
+                    hist_rows - 2,
+                )
             elif use_cull and n_tri_supers > 1:
 
                 def tri_super(si, carry):
@@ -2259,19 +2274,20 @@ def _render_frame_mega_ts(
         # tested from SMEM params, not the cluster loop
         sperm = _f2b(p.sph_sub_bounds[: max(p.n_sphere_subs_visit, 1)])
     perlane_sph_ok = (
-        perlane
+        perlane > 0
         and use_cull
         and p.n_sphere_supers <= 1
         and 2 <= p.n_sphere_subs_visit <= 24
     )
     perlane_tri_ok = (
-        perlane
+        perlane > 0
         and use_cull
         and "tris" in p.features
         and p.n_tri_supers <= 1
         and 2 <= p.n_tri_subs <= 24
     )
     use_perlane = perlane_sph_ok or perlane_tri_ok
+    perlane_mode = perlane if use_perlane else 0
     if perlane_sph_ok:
         # drain-loop ctz table, composed with the f2b order: slot
         # nss_visit + j maps De Bruijn index j to its cluster. Ranks
@@ -2378,7 +2394,7 @@ def _render_frame_mega_ts(
         stub_intersect=stub_intersect,
         dup_intersect=dup_intersect,
         dup_fetch=dup_fetch,
-        perlane=use_perlane,
+        perlane=perlane_mode,
     )
     full = lambda a: pl.BlockSpec(
         a.shape,
@@ -2484,9 +2500,10 @@ def _render_frame_mega_ts(
                 (nwf, (RS if p.fetch_mode == "winner" else 1) * LANES),
                 jnp.float32,
             ),  # winner attr acc
-            # per-row need bitmasks for the per-lane cull drain loop
-            # (token-sized when the path is off)
+            # per-row need bitmasks for the per-lane cull drain loop +
+            # mode-2 first-round popped bits (token-sized when off)
             pltpu.SMEM((RS if use_perlane else 1,), jnp.int32),
+            pltpu.SMEM((RS if perlane_mode >= 2 else 1,), jnp.int32),
         ],
     )
     r, g, b, segs, hist = pl.pallas_call(

@@ -436,15 +436,19 @@ def test_mega_perlane_cull_matches_default(monkeypatch):
     )
     monkeypatch.setitem(os.environ, "RTX_MEGA_PERLANE", "0")
     a, _ = render_frame_mega(scene, cam, cfg, jnp.uint32(2), interpret=True)
-    monkeypatch.setitem(os.environ, "RTX_MEGA_PERLANE", "1")
-    b, segs = render_frame_mega(
-        scene, cam, cfg, jnp.uint32(2), interpret=True
-    )
-    a, b = np.asarray(a), np.asarray(b)
-    assert int(segs) > 0
-    d = np.abs(a - b).max(axis=-1)
-    assert (d == 0).mean() > 0.999, f"pixels differing: {(d > 0).mean()}"
-    assert np.abs(a - b).mean() < 1e-4
+    a = np.asarray(a)
+    for mode in ("1", "2"):
+        monkeypatch.setitem(os.environ, "RTX_MEGA_PERLANE", mode)
+        b, segs = render_frame_mega(
+            scene, cam, cfg, jnp.uint32(2), interpret=True
+        )
+        b = np.asarray(b)
+        assert int(segs) > 0
+        d = np.abs(a - b).max(axis=-1)
+        assert (d == 0).mean() > 0.999, (
+            f"mode {mode}: pixels differing {(d > 0).mean()}"
+        )
+        assert np.abs(a - b).mean() < 1e-4
 
 
 def test_mega_perlane_cull_tri_matches_default(monkeypatch):
@@ -461,15 +465,19 @@ def test_mega_perlane_cull_tri_matches_default(monkeypatch):
     assert p.n_tri_supers <= 1 and 2 <= p.n_tri_subs <= 24
     monkeypatch.setitem(os.environ, "RTX_MEGA_PERLANE", "0")
     a, _ = render_frame_mega(scene, cam, cfg, jnp.uint32(1), interpret=True)
-    monkeypatch.setitem(os.environ, "RTX_MEGA_PERLANE", "1")
-    b, segs = render_frame_mega(
-        scene, cam, cfg, jnp.uint32(1), interpret=True
-    )
-    a, b = np.asarray(a), np.asarray(b)
-    assert int(segs) > 0
-    d = np.abs(a - b).max(axis=-1)
-    assert (d == 0).mean() > 0.999, f"pixels differing: {(d > 0).mean()}"
-    assert np.abs(a - b).mean() < 1e-4
+    a = np.asarray(a)
+    for mode in ("1", "2"):
+        monkeypatch.setitem(os.environ, "RTX_MEGA_PERLANE", mode)
+        b, segs = render_frame_mega(
+            scene, cam, cfg, jnp.uint32(1), interpret=True
+        )
+        b = np.asarray(b)
+        assert int(segs) > 0
+        d = np.abs(a - b).max(axis=-1)
+        assert (d == 0).mean() > 0.999, (
+            f"mode {mode}: pixels differing {(d > 0).mean()}"
+        )
+        assert np.abs(a - b).mean() < 1e-4
 
 
 def test_mega_perlane_cull_batched_paired(monkeypatch):
@@ -512,10 +520,11 @@ def test_mega_perlane_knob_validated(monkeypatch):
 
     from ray_tracing_extended_tpu.kernels.megakernel import perlane_cull
 
-    monkeypatch.setitem(os.environ, "RTX_MEGA_PERLANE", "2")
+    monkeypatch.setitem(os.environ, "RTX_MEGA_PERLANE", "3")
     with pytest.raises(ValueError, match="RTX_MEGA_PERLANE"):
         perlane_cull()
-    monkeypatch.setitem(os.environ, "RTX_MEGA_PERLANE", "1")
-    assert perlane_cull() is True
+    for v in ("0", "1", "2"):
+        monkeypatch.setitem(os.environ, "RTX_MEGA_PERLANE", v)
+        assert perlane_cull() == int(v)
     monkeypatch.delitem(os.environ, "RTX_MEGA_PERLANE")
-    assert perlane_cull() is False
+    assert perlane_cull() == 0
