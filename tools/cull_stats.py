@@ -5,6 +5,11 @@ Renders one frame with collect_stats and reads the diagnostic hist rows
 iteration per tile vs the total sub count. High visit ratios mean the
 tile-level AABB/t-bound culls are not firing and per-row work dominates.
 
+Under RTX_MEGA_PERLANE >= 1 the same rows count per-lane-cull DRAIN
+ITERATIONS per slot instead (each iteration = one per-row cluster pop
+across all rows) - directly comparable to union visits as the per-slot
+pair-test multiplier.
+
 Usage: python tools/cull_stats.py [preset]   (default rtiow)
 """
 
