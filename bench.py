@@ -170,7 +170,58 @@ def _bench_secondary(name, scene, camera, cfg, n_frames=2, n_runs=2,
     return line
 
 
+def _probe_backend(timeout_s: float | None = None) -> None:
+    """Fail FAST when the TPU backend cannot initialize. A wedged tunnel
+    blocks jax.devices() indefinitely inside the PJRT client (observed
+    round 3: a killed oversized compile wedged backend init for hours,
+    for every process), and that hang is not interruptible in-process -
+    so the probe runs a tiny op in a SUBPROCESS with a hard timeout and
+    converts the failure into an honest, machine-readable error line
+    instead of stalling the driver's whole bench budget."""
+    import os
+    import subprocess
+    import sys
+
+    if timeout_s is None:
+        timeout_s = float(os.environ.get("RTX_BENCH_PROBE_TIMEOUT", 300))
+    try:
+        r = subprocess.run(
+            [
+                sys.executable,
+                "-c",
+                "import jax.numpy as jnp; "
+                "print(int(jnp.ones((), jnp.int32)))",
+            ],
+            timeout=timeout_s,
+            capture_output=True,
+            text=True,
+        )
+        ok = r.returncode == 0 and r.stdout.strip().endswith("1")
+        err = (r.stderr or "").strip()[-400:]
+    except subprocess.TimeoutExpired:
+        ok = False
+        err = f"backend probe timed out after {timeout_s:.0f}s"
+    if not ok:
+        print(
+            json.dumps(
+                {
+                    "metric": (
+                        "Mrays/s/chip (RTIOW final scene, 1080p, 4-bounce)"
+                    ),
+                    "value": 0.0,
+                    "unit": "Mrays/s",
+                    "vs_baseline": 0.0,
+                    "error": f"TPU backend unavailable: {err}",
+                }
+            ),
+            flush=True,
+        )
+        raise SystemExit(1)
+
+
 def main():
+    _probe_backend()
+
     import jax
     import jax.numpy as jnp
 
