@@ -120,6 +120,19 @@ for knob in ("0", "1", "2"):
     os.environ["RTX_MEGA_PERLANE"] = knob
     bench_unpaired(f"parity K=32 UNPAIRED perlane={knob}", 32)
 
+
+# ---- TS interaction: per-row pops weaken the big-tile cull-locality
+# penalty (a row pays its own needs, not the tile union), so the tile
+# size optimum may move up under mode 2
+os.environ["RTX_MEGA_PERLANE"] = "2"
+for ts in ("192", "224"):
+    os.environ["RTX_MEGA_TS"] = ts
+    bench_batched(f"parity K=32 paired m2 TS={ts}", scene, cam, cfg, 32)
+for ts in ("128", "160"):
+    os.environ["RTX_MEGA_TS"] = ts
+    bench_single(f"adaptive m2 TS={ts}", cfg_fast)
+os.environ.pop("RTX_MEGA_TS", None)
+
 # ---- secondaries ----
 cs, cc, ccf = presets.cornell_box_scene(width=512, height=512,
                                         max_bounce=8, spp=16)
