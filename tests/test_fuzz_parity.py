@@ -107,3 +107,33 @@ def test_fuzz_material_flags():
     feats = set(built[0].packed.features)
     assert {"checker", "invisible", "dielectric"} <= feats
     _check(31, False, False, prebuilt=built)
+
+
+def test_fuzz_perlane_modes_match_default(monkeypatch):
+    """Random mixed scenes under RTX_MEGA_PERLANE 1 and 2: the per-lane
+    cull drains must reproduce the default per-tile-union path on scenes
+    that sweep the packing edge cases (cluster counts, hoisted ground,
+    mixed sphere/tri slots) - near-bit-identity, since per-row pops only
+    visit supersets and the encoded min-fold is idempotent."""
+    import os
+
+    for seed in (31, 37):
+        built = _random_scene(seed, seed == 31, True)
+        scene = built[0]
+        p = scene.packed
+        # the path must actually engage for the fuzz to mean anything
+        assert p.n_sphere_subs_visit >= 2 or p.n_tri_subs >= 2, seed
+        monkeypatch.setitem(os.environ, "RTX_MEGA_PERLANE", "0")
+        a, _ = render_frame_mega(built[0], built[1], built[2],
+                                 jnp.uint32(seed), interpret=True)
+        a = np.asarray(a)
+        for mode in ("1", "2"):
+            monkeypatch.setitem(os.environ, "RTX_MEGA_PERLANE", mode)
+            b, segs = render_frame_mega(built[0], built[1], built[2],
+                                        jnp.uint32(seed), interpret=True)
+            b = np.asarray(b)
+            assert int(segs) > 0
+            d = np.abs(a - b).max(axis=-1)
+            assert (d == 0).mean() > 0.995, (
+                f"seed {seed} mode {mode}: {(d > 0).mean():.4f} differ"
+            )
