@@ -178,7 +178,7 @@ def perlane_cull() -> int:
     union of the whole tile's needs (see ``perlane_drain`` in the
     kernel). 0 = off, 1 = frozen need masks, 2 = masks re-tightened
     once after the first pop round. RTX_MEGA_PERLANE overrides; only
-    engaged where eligible (flat cluster list, 2..24 subs, culls on).
+    engaged where eligible (flat cluster list, 2..31 subs, culls on).
     Default off until measured on hardware."""
     env = _os.environ.get("RTX_MEGA_PERLANE")
     if env is None:
@@ -768,17 +768,36 @@ def _render_kernel(
         #     frozen-mask excess (simulated 7.27 -> ~6 iterations; the
         #     rebuild costs ~0.25 visit-equivalents of slab tests).
         def perlane_drain(bounds_ref_, perm_ref_, k_, visit_row, hist_r):
+            # ranks accumulate as f32 sums of 2^r, exact only below 2^24
+            # - ranks >= LO_BITS ride a second accumulator combined at
+            # the SMEM extract (flat cluster lists go up to 32 subs; the
+            # i32 sign bit caps eligibility at 31)
+            LO_BITS = 24
+
             def build_bits():
-                ba, ca = None, None
+                ba, bh, ca = None, None, None
                 for r in range(k_):
                     m = tile_hits(bounds_ref_, perm_ref_[r])
                     anyr = jnp.max(
                         m.astype(jnp.float32), axis=1, keepdims=True
                     )  # (RS, 1)
-                    w = np.float32(2.0 ** r)
-                    ba = anyr * w if ba is None else ba + anyr * w
+                    if r < LO_BITS:
+                        w = np.float32(2.0 ** r)
+                        ba = anyr * w if ba is None else ba + anyr * w
+                    else:
+                        w = np.float32(2.0 ** (r - LO_BITS))
+                        bh = anyr * w if bh is None else bh + anyr * w
                     ca = anyr if ca is None else ca + anyr
-                return ba, ca
+                return ba, bh, ca
+
+            def extract_bits(ba, bh, g):
+                b = jnp.sum(ba[g : g + 1, :]).astype(jnp.int32)
+                if bh is not None:
+                    b = b | (
+                        jnp.sum(bh[g : g + 1, :]).astype(jnp.int32)
+                        << LO_BITS
+                    )
+                return b
 
             def pop_visit(g, record):
                 b = sbits_ref[g]
@@ -798,11 +817,9 @@ def _render_kernel(
                         out_hist_ref[hist_r : hist_r + 1, :] + 1
                     )
 
-            bits_acc, cnt_acc = build_bits()
+            bits_acc, bits_hi, cnt_acc = build_bits()
             for g in range(RS):
-                sbits_ref[g] = jnp.sum(
-                    bits_acc[g : g + 1, :]
-                ).astype(jnp.int32)
+                sbits_ref[g] = extract_bits(bits_acc, bits_hi, g)
             if perlane >= 2:
                 # one pop round, then re-tighten: rebuild the masks
                 # under the now-shrunk best_t, clear each row's already
@@ -811,10 +828,10 @@ def _render_kernel(
                 count_hist()
                 for g in range(RS):
                     pop_visit(g, True)
-                bits2, _ = build_bits()
+                bits2, bits2_hi, _ = build_bits()
                 n_it = jnp.int32(0)
                 for g in range(RS):
-                    b2 = jnp.sum(bits2[g : g + 1, :]).astype(jnp.int32)
+                    b2 = extract_bits(bits2, bits2_hi, g)
                     b2 = b2 & ~spop_ref[g]
                     sbits_ref[g] = b2
                     x = b2 - ((b2 >> 1) & 0x55555555)
@@ -838,7 +855,7 @@ def _render_kernel(
             perlane
             and use_cull
             and n_sph_supers <= 1
-            and 2 <= nss_visit <= 24
+            and 2 <= nss_visit <= 31
         )
         if perlane_sph:
 
@@ -957,7 +974,7 @@ def _render_kernel(
                 perlane
                 and use_cull
                 and n_tri_supers <= 1
-                and 2 <= nst <= 24
+                and 2 <= nst <= 31
             )
             if perlane_tri:
 
@@ -2277,14 +2294,14 @@ def _render_frame_mega_ts(
         perlane > 0
         and use_cull
         and p.n_sphere_supers <= 1
-        and 2 <= p.n_sphere_subs_visit <= 24
+        and 2 <= p.n_sphere_subs_visit <= 31
     )
     perlane_tri_ok = (
         perlane > 0
         and use_cull
         and "tris" in p.features
         and p.n_tri_supers <= 1
-        and 2 <= p.n_tri_subs <= 24
+        and 2 <= p.n_tri_subs <= 31
     )
     use_perlane = perlane_sph_ok or perlane_tri_ok
     perlane_mode = perlane if use_perlane else 0

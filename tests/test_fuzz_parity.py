@@ -137,3 +137,38 @@ def test_fuzz_perlane_modes_match_default(monkeypatch):
             assert (d == 0).mean() > 0.995, (
                 f"seed {seed} mode {mode}: {(d > 0).mean():.4f} differ"
             )
+
+
+def test_fuzz_perlane_two_word_bits(monkeypatch):
+    """> 24 sub-clusters exercise the two-accumulator bit build (ranks
+    >= 24 ride a second f32 word combined at the SMEM extract)."""
+    import os
+
+    rng = np.random.default_rng(41)
+    b = SceneBuilder()
+    for _ in range(820):
+        pos = rng.uniform([-8, 0.2, -8], [8, 3.0, 8])
+        b.add_sphere(tuple(pos), float(rng.uniform(0.05, 0.25)),
+                     Material.lambertian(tuple(rng.uniform(0.2, 1.0, 3))))
+    scene = b.build()
+    p = scene.packed
+    assert p.n_sphere_supers <= 1 and 25 <= p.n_sphere_subs_visit <= 31, (
+        p.n_sphere_subs_visit
+    )
+    cam = look_at((0, 3.0, -14), (0, 1, 0), fov_y_deg=45)
+    cfg = RenderConfig(width=48, height=32, max_bounce=2, spp=1,
+                       clamp_accumulate=False)
+    monkeypatch.setitem(os.environ, "RTX_MEGA_PERLANE", "0")
+    a, _ = render_frame_mega(scene, cam, cfg, jnp.uint32(5),
+                             interpret=True)
+    a = np.asarray(a)
+    for mode in ("1", "2"):
+        monkeypatch.setitem(os.environ, "RTX_MEGA_PERLANE", mode)
+        m, segs = render_frame_mega(scene, cam, cfg, jnp.uint32(5),
+                                    interpret=True)
+        m = np.asarray(m)
+        assert int(segs) > 0
+        d = np.abs(a - m).max(axis=-1)
+        assert (d == 0).mean() > 0.995, (
+            f"mode {mode}: {(d > 0).mean():.4f} differ"
+        )
