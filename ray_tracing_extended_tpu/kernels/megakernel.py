@@ -687,6 +687,66 @@ def _render_kernel(
             for g in range(RS):
                 row_visit(g)
 
+        # The per-row intersection math is SHARED between the per-tile
+        # visit loops and the per-lane drains (one definition keeps the
+        # two gating schemes in numeric lockstep). Callers pre-slice the
+        # cluster columns once per cluster resolution.
+
+        def sphere_cols_slices(cols):
+            # dead slots pack r2 = -1e30 (pack.py col 4), making
+            # disc < 0 unconditionally - no r > 0 test needed
+            return cols[:, 0:1], cols[:, 1:2], cols[:, 2:3], cols[:, 4:5]
+
+        def sphere_row_test(g, cs, clu_f, idx_w):
+            cx, cy, cz, r2c = cs
+            ocx = ox[g : g + 1, :] - cx  # (SUB, 128)
+            ocy = oy[g : g + 1, :] - cy
+            ocz = oz[g : g + 1, :] - cz
+            b = (
+                ocx * dx[g : g + 1, :]
+                + ocy * dy[g : g + 1, :]
+                + ocz * dz[g : g + 1, :]
+            )
+            cc = ocx * ocx + ocy * ocy + ocz * ocz - r2c
+            # no-root (disc < 0) flows through as sqrt(neg) = NaN,
+            # and NaN >= 0 is False - one compare covers both the
+            # discriminant and the behind-ray test (saves the
+            # max(), the second compare and the AND per block)
+            tq = -b - jnp.sqrt(b * b - cc)
+            fold_pair(g, tq >= 0.0, tq, clu_f, idx_w)
+
+        def tri_cols_slices(cols):
+            return tuple(cols[:, i : i + 1] for i in range(12))
+
+        def tri_row_test(g, cs, clu_f, idx_w):
+            (pax, pay, paz, ex1, ey1, ez1, ex2, ey2, ez2, nx, ny, nz) = cs
+            gdx = dx[g : g + 1, :]
+            gdy = dy[g : g + 1, :]
+            gdz = dz[g : g + 1, :]
+            aox = ox[g : g + 1, :] - pax
+            aoy = oy[g : g + 1, :] - pay
+            aoz = oz[g : g + 1, :] - paz
+            daox = aoy * gdz - aoz * gdy
+            daoy = aoz * gdx - aox * gdz
+            daoz = aox * gdy - aoy * gdx
+            det = -(gdx * nx + gdy * ny + gdz * nz)
+            t_det = aox * nx + aoy * ny + aoz * nz
+            u_det = ex2 * daox + ey2 * daoy + ez2 * daoz
+            v_det = -(ex1 * daox + ey1 * daoy + ez1 * daoz)
+            w_det = det - u_det - v_det
+            # all four barycentric/t signs collapse into one min
+            # (t/u/v/w >= 0 each) - 3 mins + 1 compare instead of
+            # 4 compares + 3 ands
+            min4 = jnp.minimum(
+                jnp.minimum(t_det, u_det), jnp.minimum(v_det, w_det)
+            )
+            hit = (det >= _DET_EPS) & (min4 >= 0.0)
+            # unguarded divide: det ~ 0 lanes produce inf/NaN in tq,
+            # but ``hit`` is false there and fold_pair's where()
+            # discards the encode - saves the select
+            tq = t_det / det
+            fold_pair(g, hit, tq, clu_f, idx_w)
+
         def sphere_cluster(ci, carry):
             # Front-to-back: visit clusters nearest the camera first so
             # best_t tightens early and the t-bounded slab test culls the
@@ -702,34 +762,12 @@ def _render_kernel(
                     out_hist_ref[r : r + 1, :] = (
                         out_hist_ref[r : r + 1, :] + 1
                     )
-                cols = sph_cols_ref[c]  # (SUB, 8)
-                cx = cols[:, 0:1]
-                cy = cols[:, 1:2]
-                cz = cols[:, 2:3]
-                # dead slots pack r2 = -1e30 (pack.py col 4), making
-                # disc < 0 unconditionally - no r > 0 test needed here
-                r2c = cols[:, 4:5]
+                cs = sphere_cols_slices(sph_cols_ref[c])  # (SUB, 8)
                 clu_f = (c * SUB).astype(jnp.float32)
                 idx_w = ((c << 5) | sub_iota_i) if wide else None
-
-                def row_visit(g):
-                    ocx = ox[g : g + 1, :] - cx  # (SUB, 128)
-                    ocy = oy[g : g + 1, :] - cy
-                    ocz = oz[g : g + 1, :] - cz
-                    b = (
-                        ocx * dx[g : g + 1, :]
-                        + ocy * dy[g : g + 1, :]
-                        + ocz * dz[g : g + 1, :]
-                    )
-                    cc = ocx * ocx + ocy * ocy + ocz * ocz - r2c
-                    # no-root (disc < 0) flows through as sqrt(neg) = NaN,
-                    # and NaN >= 0 is False - one compare covers both the
-                    # discriminant and the behind-ray test (saves the
-                    # max(), the second compare and the AND per block)
-                    tq = -b - jnp.sqrt(b * b - cc)
-                    fold_pair(g, tq >= 0.0, tq, clu_f, idx_w)
-
-                visit_rows(row_visit, mask)
+                visit_rows(
+                    lambda g: sphere_row_test(g, cs, clu_f, idx_w), mask
+                )
 
             if use_cull:
                 pl.when(jnp.any(mask))(visit)
@@ -860,24 +898,10 @@ def _render_kernel(
         if perlane_sph:
 
             def sph_visit_row(g, c):
-                cols = sph_cols_ref[c]  # (SUB, 8)
-                cx = cols[:, 0:1]
-                cy = cols[:, 1:2]
-                cz = cols[:, 2:3]
-                r2c = cols[:, 4:5]
+                cs = sphere_cols_slices(sph_cols_ref[c])
                 clu_f = (c * SUB).astype(jnp.float32)
                 idx_w = ((c << 5) | sub_iota_i) if wide else None
-                ocx = ox[g : g + 1, :] - cx  # (SUB, 128)
-                ocy = oy[g : g + 1, :] - cy
-                ocz = oz[g : g + 1, :] - cz
-                bq = (
-                    ocx * dx[g : g + 1, :]
-                    + ocy * dy[g : g + 1, :]
-                    + ocz * dz[g : g + 1, :]
-                )
-                ccq = ocx * ocx + ocy * ocy + ocz * ocz - r2c
-                tq = -bq - jnp.sqrt(bq * bq - ccq)
-                fold_pair(g, tq >= 0.0, tq, clu_f, idx_w)
+                sphere_row_test(g, cs, clu_f, idx_w)
 
             perlane_drain(
                 sph_bounds_ref, sperm_ref, nss_visit, sph_visit_row,
@@ -920,44 +944,12 @@ def _render_kernel(
                     out_hist_ref[r : r + 1, :] = (
                         out_hist_ref[r : r + 1, :] + 1
                     )
-                cols = tri_cols_ref[c]  # (SUB, 16)
-                pax, pay, paz = cols[:, 0:1], cols[:, 1:2], cols[:, 2:3]
-                ex1, ey1, ez1 = cols[:, 3:4], cols[:, 4:5], cols[:, 5:6]
-                ex2, ey2, ez2 = cols[:, 6:7], cols[:, 7:8], cols[:, 8:9]
-                nx, ny, nz = cols[:, 9:10], cols[:, 10:11], cols[:, 11:12]
+                cs = tri_cols_slices(tri_cols_ref[c])  # (SUB, 16)
                 clu_f = ((nss + c) * SUB).astype(jnp.float32)
                 idx_w = (((nss + c) << 5) | sub_iota_i) if wide else None
-
-                def row_visit(g):
-                    gdx = dx[g : g + 1, :]
-                    gdy = dy[g : g + 1, :]
-                    gdz = dz[g : g + 1, :]
-                    aox = ox[g : g + 1, :] - pax
-                    aoy = oy[g : g + 1, :] - pay
-                    aoz = oz[g : g + 1, :] - paz
-                    daox = aoy * gdz - aoz * gdy
-                    daoy = aoz * gdx - aox * gdz
-                    daoz = aox * gdy - aoy * gdx
-                    det = -(gdx * nx + gdy * ny + gdz * nz)
-                    t_det = aox * nx + aoy * ny + aoz * nz
-                    u_det = ex2 * daox + ey2 * daoy + ez2 * daoz
-                    v_det = -(ex1 * daox + ey1 * daoy + ez1 * daoz)
-                    w_det = det - u_det - v_det
-                    # all four barycentric/t signs collapse into one min
-                    # (t/u/v/w >= 0 each) - 3 mins + 1 compare instead of
-                    # 4 compares + 3 ands
-                    min4 = jnp.minimum(
-                        jnp.minimum(t_det, u_det),
-                        jnp.minimum(v_det, w_det),
-                    )
-                    hit = (det >= _DET_EPS) & (min4 >= 0.0)
-                    # unguarded divide: det ~ 0 lanes produce inf/NaN in
-                    # tq, but ``hit`` is false there and fold_pair's
-                    # where() discards the encode - saves the select
-                    tq = t_det / det
-                    fold_pair(g, hit, tq, clu_f, idx_w)
-
-                visit_rows(row_visit, mask)
+                visit_rows(
+                    lambda g: tri_row_test(g, cs, clu_f, idx_w), mask
+                )
 
             if use_cull:
                 pl.when(jnp.any(mask))(visit)
@@ -979,44 +971,12 @@ def _render_kernel(
             if perlane_tri:
 
                 def tri_visit_row(g, c):
-                    cols = tri_cols_ref[c]  # (SUB, 16)
-                    pax, pay, paz = (
-                        cols[:, 0:1], cols[:, 1:2], cols[:, 2:3]
-                    )
-                    ex1, ey1, ez1 = (
-                        cols[:, 3:4], cols[:, 4:5], cols[:, 5:6]
-                    )
-                    ex2, ey2, ez2 = (
-                        cols[:, 6:7], cols[:, 7:8], cols[:, 8:9]
-                    )
-                    nx, ny, nz = (
-                        cols[:, 9:10], cols[:, 10:11], cols[:, 11:12]
-                    )
+                    cs = tri_cols_slices(tri_cols_ref[c])
                     clu_f = ((nss + c) * SUB).astype(jnp.float32)
                     idx_w = (
                         (((nss + c) << 5) | sub_iota_i) if wide else None
                     )
-                    gdx = dx[g : g + 1, :]
-                    gdy = dy[g : g + 1, :]
-                    gdz = dz[g : g + 1, :]
-                    aox = ox[g : g + 1, :] - pax
-                    aoy = oy[g : g + 1, :] - pay
-                    aoz = oz[g : g + 1, :] - paz
-                    daox = aoy * gdz - aoz * gdy
-                    daoy = aoz * gdx - aox * gdz
-                    daoz = aox * gdy - aoy * gdx
-                    det = -(gdx * nx + gdy * ny + gdz * nz)
-                    t_det = aox * nx + aoy * ny + aoz * nz
-                    u_det = ex2 * daox + ey2 * daoy + ez2 * daoz
-                    v_det = -(ex1 * daox + ey1 * daoy + ez1 * daoz)
-                    w_det = det - u_det - v_det
-                    min4 = jnp.minimum(
-                        jnp.minimum(t_det, u_det),
-                        jnp.minimum(v_det, w_det),
-                    )
-                    hit = (det >= _DET_EPS) & (min4 >= 0.0)
-                    tq = t_det / det
-                    fold_pair(g, hit, tq, clu_f, idx_w)
+                    tri_row_test(g, cs, clu_f, idx_w)
 
                 perlane_drain(
                     tri_bounds_ref, tperm_ref, nst, tri_visit_row,

@@ -103,6 +103,11 @@ def render_progressive(
         fingerprint = ckpt.state_hash(
             scene, cameras if cameras is not None else camera, cfg
         )
+        if reset_on_move:
+            # run-relative weights are a different accumulation scheme:
+            # resuming a reset_on_move checkpoint without the flag (or
+            # vice versa) would silently blend incompatible weightings
+            fingerprint += ":reset_on_move"
         if resume:
             import os
 
@@ -193,11 +198,15 @@ def render_progressive(
         prev = accum
         # reset_on_move folds with run-relative weights (a fresh render
         # of the run); otherwise the reference's global 1/(f+1)
-        accum = accumulate(
-            accum, cur, (f - seg0) if reset_on_move else f,
-            clamp=cfg.clamp_accumulate,
-        )
-        m2 = m2 + (cur - prev) * (cur - accum)
+        wf = (f - seg0) if reset_on_move else f
+        accum = accumulate(accum, cur, wf, clamp=cfg.clamp_accumulate)
+        # Welford step; skipped on a weight-0 fold (fresh sequence):
+        # M2 is identically 0 at n=1, and with the per-frame clamp prev
+        # is stale (zeros, or the previous camera run's average), whose
+        # cross-term against (cur - saturate(cur)) would corrupt the
+        # restarted variance signal on >1-radiance scenes
+        if not (reset_on_move and f == seg0):
+            m2 = m2 + (cur - prev) * (cur - accum)
         segs = int(segs)  # blocks until the frame is done
         wall = time.perf_counter() - t0
         if metrics is not None:

@@ -199,7 +199,12 @@ def _model_world_affine(mid, models, parent_of):
         tm, rm, sm = _model_trs(models[m])
         lm = rm * sm  # rm @ diag(sm)
         L = lm @ L
-        Ln = (rm * np.maximum(sm, 1e-20)) @ Ln
+        # clamp MAGNITUDE away from zero, keeping the sign: a mirror
+        # scale (-1) must flip normals, not collapse them (max(-1,eps)
+        # would zero the axis and blow up inv(Ln))
+        sm = np.asarray(sm, np.float64) * np.ones(3)
+        sn = np.where(np.abs(sm) < 1e-20, 1e-20, sm)
+        Ln = (rm * sn) @ Ln
         t = lm @ t + np.asarray(tm, np.float64)
         m = parent_of.get(m)
     return L, Ln, t
@@ -241,13 +246,15 @@ def load_fbx(path):
             models[node.props[0]] = node
 
     # geometry id -> model id and model id -> parent model id via
-    # Connections (OO links; a model's parent of 0 is the scene root)
+    # Connections. Only "OO" (object-object) links are hierarchy; "OP"
+    # model->model links (constraints, LookAt targets, property
+    # bindings) must NOT enter the transform parent chain.
     geo_model = {}
     parent_of = {}
     for top in root.children:
         if top.name == "Connections":
             for c in top.find("C"):
-                if len(c.props) < 3:
+                if len(c.props) < 3 or c.props[0] != "OO":
                     continue
                 if c.props[1] in geoms and c.props[2] in models:
                     geo_model[c.props[1]] = c.props[2]
