@@ -345,3 +345,28 @@ def test_fbx_nested_model_hierarchy():
     np.testing.assert_allclose(Li, np.eye(3))
     # a parent cycle terminates (2 -> 1 -> 2)
     _model_world_affine(2, models, {2: 1, 1: 2})
+
+
+def test_fbx_mirror_scale_normal_transform():
+    """A mirror scale (Lcl Scaling -1) must FLIP normals via the
+    sign-preserving clamp in the normal-transform linear part - the old
+    max(s, eps) clamp collapsed the mirrored axis to 1e-20 and blew up
+    inv(Ln), washing out every normal (code-review finding)."""
+    from ray_tracing_extended_tpu.scene.fbx import (
+        _Node,
+        _model_world_affine,
+    )
+
+    def p_entry(key, vals):
+        return _Node("P", [key, "", "", ""] + list(vals))
+
+    p70 = _Node("Properties70", [])
+    p70.children = [p_entry("Lcl Scaling", (-1.0, 1.0, 1.0))]
+    m = _Node("Model", [])
+    m.children = [p70]
+    L, Ln, t = _model_world_affine(1, {1: m}, {})
+    np.testing.assert_allclose(L, np.diag([-1.0, 1.0, 1.0]), atol=1e-12)
+    np.testing.assert_allclose(Ln, L, atol=1e-12)
+    # a +x normal on the mirrored model points -x in world space
+    n = np.array([1.0, 0.0, 0.0]) @ np.linalg.inv(Ln)
+    np.testing.assert_allclose(n, [-1.0, 0.0, 0.0], atol=1e-12)
