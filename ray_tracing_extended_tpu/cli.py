@@ -114,10 +114,20 @@ def cmd_render(args):
         _, cameras, fcfg = flythrough_cameras(
             args.flythrough, width=cfg.width, height=cfg.height
         )
-        if not args.spp:
+        # `--spp 0` is an explicit (invalid, caught by RenderConfig
+        # validation) request, not "unset" - test identity, not truthiness
+        if args.spp is None:
             cfg = dataclasses.replace(cfg, spp=fcfg.spp)
+        if args.frames is not None and args.frames != args.flythrough:
+            raise SystemExit(
+                f"--frames {args.frames} conflicts with --flythrough "
+                f"{args.flythrough}: the fly-through renders one frame "
+                "per camera; drop --frames"
+            )
         args.frames = args.flythrough
         cam = cameras[0]
+    elif args.frames is None:
+        args.frames = 1
     mesh = _parse_mesh(args.mesh) if args.mesh else None
     if args.reset_on_move and cameras is None:
         raise SystemExit("--reset-on-move needs --flythrough N")
@@ -243,7 +253,10 @@ def main(argv=None):
 
     r = sub.add_parser("render", help="progressive render")
     add_scene_args(r)
-    r.add_argument("--frames", type=int, default=1)
+    r.add_argument(
+        "--frames", type=int, default=None,
+        help="frames to accumulate (default 1; implied by --flythrough N)",
+    )
     r.add_argument(
         "--batch", type=int, default=1, metavar="K",
         help="frames fused per kernel launch (static camera; each "

@@ -270,7 +270,16 @@ def _render_progressive_sharded(
     running average with the reference weighting. Step s covers frame
     indices [s * spp_size, (s + 1) * spp_size), and folding the step's
     equal-weight sample mean with weight 1/(s+1) reproduces the flat
-    average over all frames rendered so far."""
+    average over all frames rendered so far.
+
+    NOTE (ADVICE round 3): on this path ``frames`` counts STEPS and
+    ``cameras`` is PER-STEP, not per-frame - step s renders its spp_size
+    frame seeds under the single camera cameras[s] (one sharded launch
+    cannot move the camera between its fused frame seeds). A fly-through
+    of N views over an spp-sharded mesh therefore renders N steps =
+    N * spp_size frames, spp_size seeds per view - by design, not a
+    stride bug; the single-chip path (mesh=None) keeps the per-frame
+    contract."""
     from .parallel.sharding import render_frame_mega_sharded
 
     spp_size = mesh.shape["spp"]
@@ -296,9 +305,10 @@ def _render_progressive_sharded(
                 accum = jnp.asarray(accum_np)
     if cameras is not None and len(cameras) < start_step + frames:
         raise ValueError(
-            f"cameras covers {len(cameras)} frames; rendering steps "
+            f"cameras covers {len(cameras)} steps; rendering steps "
             f"[{start_step}, {start_step + frames}) needs "
-            f"{start_step + frames}"
+            f"{start_step + frames} (one camera per step - each step "
+            f"renders {spp_size} frame seeds under it)"
         )
 
     for s in range(start_step, start_step + frames):

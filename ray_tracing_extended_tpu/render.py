@@ -121,12 +121,19 @@ def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
-def _use_megakernel(scene: Scene, cfg: RenderConfig) -> bool:
+def _use_megakernel(
+    scene: Scene,
+    cfg: RenderConfig,
+    batched: bool = False,
+    paired: bool = False,
+) -> bool:
     """The fused Pallas megakernel handles whole frames on TPU for scenes
     whose packed tables fit VMEM (one-hot fetch for small scenes, the
     winner post-pass for big ones); other intersector choices use the XLA
     bounce loop. A scene carrying a BVH still prefers the megakernel when
-    supported - the BVH remains the XLA fallback."""
+    supported - the BVH remains the XLA fallback. ``batched``/``paired``
+    describe a render_frames_mega launch, whose tile size and per-tile
+    input blocks differ from the single-frame launch (ADVICE round 3)."""
     if cfg.intersector == "mega":
         return True
     if cfg.intersector != "auto":
@@ -140,7 +147,7 @@ def _use_megakernel(scene: Scene, cfg: RenderConfig) -> bool:
         return False
     from .kernels.megakernel import mega_supported
 
-    return mega_supported(scene, cfg)
+    return mega_supported(scene, cfg, batched=batched, paired=paired)
 
 
 @functools.partial(
@@ -254,7 +261,9 @@ def render_frames_and_accumulate(
     map (per-pixel cost telemetry) is also not available - it returns a
     zeros map, which a later megakernel launch treats as an identity
     pairing."""
-    if _use_megakernel(scene, cfg):
+    if _use_megakernel(
+        scene, cfg, batched=n_frames > 1, paired=pair_costs is not None
+    ):
         from .kernels.megakernel import render_frames_mega
 
         interpret = jax.devices()[0].platform != "tpu"

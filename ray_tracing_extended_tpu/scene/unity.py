@@ -363,12 +363,17 @@ def _material_from(d) -> Material:
     )
 
 
-def load_unity_scene(path, overrides: dict | None = None):
-    """Import a .unity scene -> (scene, camera, config).
+def unity_scene_spec(path) -> dict:
+    """Parse a .unity scene into a neutral spec (the shared front half of
+    ``load_unity_scene`` and ``scene/export.py``'s JSON mirror writer):
 
-    ``overrides`` may set width/height/spp/max_bounce etc. on the returned
-    RenderConfig (the reference renders at whatever the window size is;
-    width/height default to 1280x720).
+    * ``env``: Environment pytree
+    * ``cfg_kw``: RenderConfig kwargs from the manager (max_bounce, spp)
+    * ``spheres``: [(position (3,) f32, radius float, Material)]
+    * ``tri_groups``: [((N, 3, 3) world positions, (N, 3, 3) world
+      normals, Material)] - the serialized localChunks after the
+      reference's per-frame world transform (RayTracedMesh.cs:42-51)
+    * ``camera``: camera_from_matrix kwargs, or None
     """
     text = Path(path).read_text()
     docs = _parse_unity_yaml(text)
@@ -433,19 +438,19 @@ def load_unity_scene(path, overrides: dict | None = None):
             spp=max(1, int(manager.get("numRaysPerPixel", 2))),
         )
 
-    b = SceneBuilder(env=env)
-
     # ---- spheres (RayTracingManager.cs:167-187) ----
+    sphere_specs = []
     for s in spheres:
         go = (s.get("m_GameObject") or {}).get("fileID")
         pos, _, scale = sd.world_trs(go)
-        b.add_sphere(
+        sphere_specs.append((
             pos.astype(np.float32),
             float(scale[0]) * 0.5,
             _material_from(s.get("material") or {}),
-        )
+        ))
 
     # ---- meshes: serialized localChunks -> world space ----
+    tri_groups = []
     for m in meshes:
         go = (m.get("m_GameObject") or {}).get("fileID")
         pos, rot, scale = sd.world_trs(go)
@@ -469,7 +474,49 @@ def load_unity_scene(path, overrides: dict | None = None):
                     tp[i, j] = rot @ (scale * p_l) + pos
                     nw = n_mat @ n_l
                     tn[i, j] = nw / max(np.linalg.norm(nw), 1e-20)
-            b.add_triangles(tp, tn, mat)
+            tri_groups.append((tp, tn, mat))
+
+    # ---- camera ----
+    cam_kw = None
+    if camera_doc is not None:
+        go = (camera_doc.get("m_GameObject") or {}).get("fileID")
+        pos, rot, _ = sd.world_trs(go)
+        fov = float(camera_doc.get("field of view", 60.0))
+        mgr = manager or {}
+        cam_kw = dict(
+            position=pos.astype(np.float32),
+            rotation=rot.astype(np.float32),
+            fov_y_deg=fov,
+            focus_distance=max(0.0, float(mgr.get("focusDistance", 1.0))),
+            defocus_strength=max(0.0, float(mgr.get("defocusStrength", 0.0))),
+            diverge_strength=max(
+                0.0, float(mgr.get("divergeStrength", 0.3))
+            ),
+        )
+
+    return dict(
+        env=env,
+        cfg_kw=cfg_kw,
+        spheres=sphere_specs,
+        tri_groups=tri_groups,
+        camera=cam_kw,
+    )
+
+
+def load_unity_scene(path, overrides: dict | None = None):
+    """Import a .unity scene -> (scene, camera, config).
+
+    ``overrides`` may set width/height/spp/max_bounce etc. on the returned
+    RenderConfig (the reference renders at whatever the window size is;
+    width/height default to 1280x720).
+    """
+    spec = unity_scene_spec(path)
+
+    b = SceneBuilder(env=spec["env"])
+    for pos, radius, mat in spec["spheres"]:
+        b.add_sphere(pos, radius, mat)
+    for tp, tn, mat in spec["tri_groups"]:
+        b.add_triangles(tp, tn, mat)
 
     # Acceleration story (reference: every chunk is AABB-gated,
     # RayTracing.shader:279-281): the packed sub/super-cluster tables feed
@@ -479,25 +526,13 @@ def load_unity_scene(path, overrides: dict | None = None):
     # pairwise scan.
     scene = b.build(build_bvh="tri" if b.num_triangles > 16384 else None)
 
-    # ---- camera ----
-    cam = None
-    if camera_doc is not None:
-        go = (camera_doc.get("m_GameObject") or {}).get("fileID")
-        pos, rot, _ = sd.world_trs(go)
-        fov = float(camera_doc.get("field of view", 60.0))
-        mgr = manager or {}
-        cam = camera_from_matrix(
-            pos.astype(np.float32),
-            rot.astype(np.float32),
-            fov_y_deg=fov,
-            focus_distance=max(0.0, float(mgr.get("focusDistance", 1.0))),
-            defocus_strength=max(0.0, float(mgr.get("defocusStrength", 0.0))),
-            diverge_strength=max(
-                0.0, float(mgr.get("divergeStrength", 0.3))
-            ),
-        )
+    cam = (
+        camera_from_matrix(**spec["camera"])
+        if spec["camera"] is not None
+        else None
+    )
 
-    cfg = RenderConfig(width=1280, height=720, **cfg_kw)
+    cfg = RenderConfig(width=1280, height=720, **spec["cfg_kw"])
     if overrides:
         import dataclasses
 
