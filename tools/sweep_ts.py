@@ -13,10 +13,16 @@ SNIPPET = r"""
 import time
 import jax.numpy as jnp
 from ray_tracing_extended_tpu.models.presets import rtiow_final_scene
-from ray_tracing_extended_tpu.kernels.megakernel import render_frame_mega
+from ray_tracing_extended_tpu.kernels.megakernel import (
+    mega_vmem_estimate, render_frame_mega,
+)
 
 scene, camera, cfg = rtiow_final_scene(width=1920, height=1080,
                                        max_bounce=4, spp=16)
+# refuse oversized launches BEFORE submitting - a killed oversized
+# compile wedged the tunnel machine-wide for ~8h in round 3
+est = mega_vmem_estimate(scene, cfg)
+assert est["total"] <= est["budget"], f"oversized launch refused: {est}"
 img, segs = render_frame_mega(scene, camera, cfg, jnp.uint32(0))
 img.block_until_ready()
 best = float("inf")
@@ -43,8 +49,12 @@ if __name__ == "__main__":
             for kv in spec.split(","):
                 k, v = kv.split("=")
                 env[k] = v
-        subprocess.run(
-            [sys.executable, "-c", SNIPPET],
-            env=env,
-            cwd=os.path.join(os.path.dirname(__file__), ".."),
-        )
+        try:
+            subprocess.run(
+                [sys.executable, "-c", SNIPPET],
+                env=env,
+                cwd=os.path.join(os.path.dirname(__file__), ".."),
+                timeout=float(os.environ.get("RTX_AB_TIMEOUT", 1500)),
+            )
+        except subprocess.TimeoutExpired:
+            print(f"{spec}: timed out (killed)", flush=True)
