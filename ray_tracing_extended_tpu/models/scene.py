@@ -97,11 +97,28 @@ def _round_up(x: int, m: int) -> int:
 
 
 class SceneBuilder:
+    """Mutable host scene. ``build()`` is the reference's per-frame scene
+    re-scan + buffer re-upload (RayTracingManager.InitFrame ->
+    CreateSpheres/CreateMeshes, RayTracingManager.cs:95-109): it may be
+    called once for a static scene or once per frame for animation -
+    ``set_sphere`` / ``set_mesh_transform`` between builds move objects,
+    exactly like mutating a Unity Transform between frames
+    (RayTracedMesh.cs:42-51 re-transforms every triangle to world space
+    each frame)."""
+
     def __init__(self, env: Environment | None = None):
         self._sphere_center: list = []
         self._sphere_radius: list = []
         self._sphere_mat: list[Material] = []
-        self._chunks: list = []  # (tri_pos, tri_normal, bmin, bmax, Material)
+        # Ordered triangle-chunk sources, preserving insertion order (the
+        # material table and the spheres-then-chunks closest-hit tie-break
+        # depend on it):  ("raw", tri_pos, tri_normal, bmin, bmax, Material)
+        # for pre-chunked soups, ("mesh", i) for self._meshes[i].
+        self._sources: list = []
+        # Mesh records keep LOCAL-space geometry so the world transform can
+        # be changed between builds; _cache memoizes the world-space chunks
+        # per transform so a static mesh costs nothing on rebuild.
+        self._meshes: list[dict] = []
         self.env = env if env is not None else Environment.disabled()
 
     def add_sphere(self, center, radius: float, material: Material):
@@ -109,6 +126,24 @@ class SceneBuilder:
         self._sphere_center.append(np.asarray(center, np.float32))
         self._sphere_radius.append(np.float32(radius))
         self._sphere_mat.append(material)
+        return self
+
+    def set_sphere(self, index: int, center=None, radius=None, material=None):
+        """Move/resize/re-skin sphere ``index`` (in ``add_sphere`` order)
+        before the next ``build()`` - the analog of mutating a Unity
+        sphere's Transform between frames (the reference re-reads
+        ``s.transform.position`` every frame, RayTracingManager.cs:178)."""
+        if not 0 <= index < len(self._sphere_center):
+            raise IndexError(
+                f"sphere index {index} out of range "
+                f"[0, {len(self._sphere_center)})"
+            )
+        if center is not None:
+            self._sphere_center[index] = np.asarray(center, np.float32)
+        if radius is not None:
+            self._sphere_radius[index] = np.float32(radius)
+        if material is not None:
+            self._sphere_mat[index] = material
         return self
 
     def add_mesh(
@@ -132,8 +167,46 @@ class SceneBuilder:
         if normals is None:
             normals = _vertex_normals(vertices, indices)
         normals = np.asarray(normals, np.float32)
+        self._meshes.append(
+            {
+                "vertices": vertices,
+                "indices": indices,
+                "normals": normals,
+                "material": material,
+                "transform": None
+                if transform is None
+                else np.asarray(transform, np.float32),
+                "max_tris": max_tris_per_chunk,
+                "chunked": chunked,
+                "cache": None,  # (transform_bytes, [chunk tuples])
+            }
+        )
+        self._sources.append(("mesh", len(self._meshes) - 1))
+        return self
+
+    def set_mesh_transform(self, index: int, transform):
+        """Re-pose mesh ``index`` (in ``add_mesh`` order) before the next
+        ``build()``: the analog of moving a RayTracedMesh's Transform -
+        the reference re-runs the local->world transform over every
+        triangle each frame (RayTracedMesh.cs:42-51)."""
+        if not 0 <= index < len(self._meshes):
+            raise IndexError(
+                f"mesh index {index} out of range [0, {len(self._meshes)})"
+            )
+        self._meshes[index]["transform"] = (
+            None if transform is None else np.asarray(transform, np.float32)
+        )
+        return self
+
+    def _mesh_chunks(self, rec: dict) -> list:
+        """World-space chunk tuples for one mesh record, memoized per
+        transform (a static mesh costs nothing on animated rebuilds)."""
+        transform = rec["transform"]
+        key = b"id" if transform is None else transform.tobytes()
+        if rec["cache"] is not None and rec["cache"][0] == key:
+            return rec["cache"][1]
+        vertices, normals = rec["vertices"], rec["normals"]
         if transform is not None:
-            transform = np.asarray(transform, np.float32)
             r = transform[:3, :3]
             t = transform[:3, 3]
             vertices = vertices @ r.T + t
@@ -145,20 +218,23 @@ class SceneBuilder:
             normals = normals / np.maximum(
                 np.linalg.norm(normals, axis=1, keepdims=True), 1e-20
             )
+        indices, material = rec["indices"], rec["material"]
         tri_pos = vertices[indices]  # (F, 3, 3)
         tri_normal = normals[indices]
-        if chunked:
-            for ch in create_chunks(
-                tri_pos, tri_normal, max_tris=max_tris_per_chunk
-            ):
-                self._chunks.append(
-                    (ch.tri_pos, ch.tri_normal, ch.bounds_min, ch.bounds_max, material)
+        if rec["chunked"]:
+            out = [
+                (ch.tri_pos, ch.tri_normal, ch.bounds_min, ch.bounds_max,
+                 material)
+                for ch in create_chunks(
+                    tri_pos, tri_normal, max_tris=rec["max_tris"]
                 )
+            ]
         else:
             bmin = tri_pos.reshape(-1, 3).min(axis=0)
             bmax = tri_pos.reshape(-1, 3).max(axis=0)
-            self._chunks.append((tri_pos, tri_normal, bmin, bmax, material))
-        return self
+            out = [(tri_pos, tri_normal, bmin, bmax, material)]
+        rec["cache"] = (key, out)
+        return out
 
     def add_triangles(
         self, tri_pos: np.ndarray, tri_normal: np.ndarray, material: Material
@@ -168,16 +244,34 @@ class SceneBuilder:
         tri_normal = np.asarray(tri_normal, np.float32)
         bmin = tri_pos.reshape(-1, 3).min(axis=0)
         bmax = tri_pos.reshape(-1, 3).max(axis=0)
-        self._chunks.append((tri_pos, tri_normal, bmin, bmax, material))
+        self._sources.append(("raw", tri_pos, tri_normal, bmin, bmax, material))
         return self
+
+    def _iter_chunks(self):
+        """All chunk tuples in insertion order (raw soups + mesh expansions)."""
+        for src in self._sources:
+            if src[0] == "raw":
+                yield src[1:]
+            else:
+                yield from self._mesh_chunks(self._meshes[src[1]])
 
     @property
     def num_spheres(self) -> int:
         return len(self._sphere_center)
 
     @property
+    def num_meshes(self) -> int:
+        return len(self._meshes)
+
+    @property
     def num_triangles(self) -> int:
-        return sum(c[0].shape[0] for c in self._chunks)
+        total = 0
+        for src in self._sources:
+            if src[0] == "raw":
+                total += src[1].shape[0]
+            else:
+                total += self._meshes[src[1]]["indices"].shape[0]
+        return total
 
     def build(self, build_bvh: str | None = None) -> Scene:
         """Flatten to device arrays.
@@ -210,7 +304,7 @@ class SceneBuilder:
         tri_nrm_all = []
         tri_mat_idx = []
         cursor = 0
-        for tri_pos, tri_nrm, bmin, bmax, mat in self._chunks:
+        for tri_pos, tri_nrm, bmin, bmax, mat in self._iter_chunks():
             mats.append(mat)
             midx = len(mats) - 1
             n = tri_pos.shape[0]

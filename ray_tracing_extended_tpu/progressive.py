@@ -35,6 +35,7 @@ def render_progressive(
     resume: bool = False,
     metrics: MetricsLogger | None = None,
     cameras=None,
+    scenes=None,
     mesh=None,
     batch: int = 1,
     reset_on_move: bool = False,
@@ -57,6 +58,17 @@ def render_progressive(
     moves - SURVEY.md section 3.4: the reference keeps averaging into
     stale history, ghosting by design).
 
+    ``scenes``: optional per-frame Scene sequence (animated/moving
+    objects). Frame f renders scenes[f]; every scene must share the
+    first frame's pytree structure and shapes (same object counts), so
+    the whole animation reuses one compiled program. This is the
+    reference's per-frame scene re-scan + re-upload
+    (RayTracingManager.cs:95-109 InitFrame -> CreateSpheres/CreateMeshes;
+    RayTracedMesh.cs:42-51): build each frame's Scene by mutating one
+    SceneBuilder (set_sphere / set_mesh_transform) and calling build()
+    again. Accumulation keeps folding into stale history while objects
+    move - the reference's ghosting-by-design, same as a moving camera.
+
     ``reset_on_move``: opt-out of that ghosting (extension; requires
     ``cameras``): whenever the camera differs from the previous frame's,
     the running average restarts, so the result is the converged average
@@ -76,6 +88,40 @@ def render_progressive(
     """
     if reset_on_move and cameras is None:
         raise ValueError("reset_on_move requires a cameras sequence")
+    if scenes is not None:
+        if mesh is not None:
+            raise ValueError(
+                "per-frame scenes are single-chip only for now (the "
+                "sharded path renders spp_size frame seeds of ONE scene "
+                "per step)"
+            )
+        if batch > 1:
+            raise ValueError(
+                "batch > 1 fuses frames into one launch over a single "
+                "scene; per-frame scenes need batch=1"
+            )
+        import jax as _jax
+
+        struct0 = _jax.tree_util.tree_structure(scenes[0])
+        shapes0 = [
+            (x.shape, x.dtype)
+            for x in _jax.tree_util.tree_leaves(scenes[0])
+        ]
+        for i, sc in enumerate(scenes[1:], 1):
+            if (
+                _jax.tree_util.tree_structure(sc) != struct0
+                or [
+                    (x.shape, x.dtype)
+                    for x in _jax.tree_util.tree_leaves(sc)
+                ]
+                != shapes0
+            ):
+                raise ValueError(
+                    f"scenes[{i}] differs in pytree structure or shapes "
+                    "from scenes[0]; animated scenes must keep object "
+                    "counts fixed (pad with never-hit primitives) so the "
+                    "compiled program is reused"
+                )
     if mesh is not None:
         if batch > 1:
             raise ValueError(
@@ -103,6 +149,26 @@ def render_progressive(
         fingerprint = ckpt.state_hash(
             scene, cameras if cameras is not None else camera, cfg
         )
+        if scenes is not None:
+            # Fold the full animation into the fingerprint (content_hash
+            # is precomputed at build, so this is free): resuming an
+            # animated render against a different scene path must be
+            # refused, exactly like a changed camera path.
+            import hashlib
+
+            hs = hashlib.sha256()
+            for sc in scenes:
+                part = getattr(sc, "content_hash", None)
+                if part is None:
+                    import dataclasses as _dc
+
+                    part = ckpt.hash_tree(
+                        _dc.replace(
+                            sc, tri_bvh=None, sphere_bvh=None, packed=None
+                        )
+                    )
+                hs.update(part.encode())
+            fingerprint += ":scenes:" + hs.hexdigest()[:16]
         if reset_on_move:
             # run-relative weights are a different accumulation scheme:
             # resuming a reset_on_move checkpoint without the flag (or
@@ -117,6 +183,12 @@ def render_progressive(
     if cameras is not None and len(cameras) < start_frame + frames:
         raise ValueError(
             f"cameras covers {len(cameras)} frames; rendering frames "
+            f"[{start_frame}, {start_frame + frames}) needs "
+            f"{start_frame + frames}"
+        )
+    if scenes is not None and len(scenes) < start_frame + frames:
+        raise ValueError(
+            f"scenes covers {len(scenes)} frames; rendering frames "
             f"[{start_frame}, {start_frame + frames}) needs "
             f"{start_frame + frames}"
         )
@@ -185,6 +257,7 @@ def render_progressive(
     want_stats = metrics is not None
     for f in range(start_frame, start_frame + frames):
         cam = cameras[f] if cameras is not None else camera
+        sc = scenes[f] if scenes is not None else scene
         if reset_on_move and f > start_frame and not _same_cam(
             cameras[f - 1], cam
         ):
@@ -192,7 +265,7 @@ def render_progressive(
             m2 = jnp.zeros_like(accum)
         t0 = time.perf_counter()
         out = render_frame_with_stats(
-            scene, cam, cfg, jnp.uint32(f), bounce_stats=want_stats
+            sc, cam, cfg, jnp.uint32(f), bounce_stats=want_stats
         )
         cur, segs = out[0], out[1]
         prev = accum

@@ -32,7 +32,10 @@ class FrameMetrics:
         d = {
             "frame": self.frame,
             "wall_s": round(self.wall_s, 5),
-            "mrays_per_s": round(self.rays / self.wall_s / 1e6, 3)
+            # 6 digits: a tiny test frame on a heavily loaded host can
+            # legitimately run below 0.001 Mrays/s, and rounding that to
+            # 0.0 destroys the "throughput is positive" invariant
+            "mrays_per_s": round(self.rays / self.wall_s / 1e6, 6)
             if self.wall_s > 0
             else None,
             "spp_per_s": round(self.spp / self.wall_s, 3)
