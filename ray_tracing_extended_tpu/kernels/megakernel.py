@@ -179,7 +179,18 @@ def perlane_cull() -> int:
     kernel). 0 = off, 1 = frozen need masks, 2 = masks re-tightened
     once after the first pop round. RTX_MEGA_PERLANE overrides; only
     engaged where eligible (flat cluster list, 2..31 subs, culls on).
-    Default off until measured on hardware."""
+    MEASURED NEGATIVE on TPU v5e (round 4, tools/perlane_ab.py): despite
+    cutting pair-test blocks 1.30-1.37x (interpret collect_stats) the
+    drain LOSES wall-clock everywhere - RTIOW 1080p batched parity K=32
+    285.4 -> 276.8 (mode 1) -> 256.2 (mode 2); unpaired parity 255.6 ->
+    252.4 -> 234.1; adaptive shows the same ordering; a TS sweep under
+    mode 2 does not recover (TS=192 256.3). The scalar-core pops do NOT
+    overlap with the VPU as designed - each dynamic-bound drain iteration
+    serialises the row's slab/pair work behind an SMEM-carried scalar
+    dependency, costing more than the skipped visits save. Mode 2's mask
+    rebuild also raises scoped-VMEM pressure (Cornell K=16 fails to
+    compile under it). Default stays 0; the mechanism is kept for
+    measurement reproducibility, not production."""
     env = _os.environ.get("RTX_MEGA_PERLANE")
     if env is None:
         return 0
