@@ -323,12 +323,38 @@ def main():
         g_scene, g_cam, g_cfg_xla, jnp.uint32(3)
     )
     _gate_mega_vs_xla(img_mega, img_xla)
-    # (c) TIGHT seed-matched gate on a low-variance config (defocus 0,
-    # 1 bounce, spp 16): with one bounce there are no knife-edge path
-    # flips to decorrelate the estimators, so the two paths must agree
-    # almost everywhere to float precision - a wrong specular lerp
-    # weight / off-by-one RR class bug cannot hide inside gate (b)'s
-    # MC-statistical slack (VERDICT round 3 weak item 4)
+    # (c) TIGHT seed-matched gates, thresholds CALIBRATED ON HARDWARE
+    # (round 4, /tmp/gate_cal runs). The round-3 design ("1 bounce has
+    # no knife-edge flips, so >99% of pixels within 1e-4") was WRONG on
+    # hardware: an ulp-different t moves the hit point, which rotates
+    # the scatter direction, and at spp 16 the two estimators become
+    # independent MC draws per pixel - measured tight_1e4 = 0.38 with a
+    # 10%-of-pixels > 0.125 tail. What IS hardware-stable:
+    #   mb=0: 92.4% of pixels bit-EXACT across the two intersectors
+    #         (only silhouette ray flips differ) - pins camera raygen,
+    #         intersection and env shading exactly;
+    #   mb=1: per-channel image means within 8.5e-4 relative and median
+    #         per-pixel rel 4.2e-4 - a wrong specular lerp weight or an
+    #         off-by-one RR shifts every lit pixel at percent scale, so
+    #         5e-3/2e-3 bars catch algorithm drift that gate (b)'s
+    #         MC-statistical slack would pass (VERDICT round 3 item 4).
+    z_scene, z_cam, z_cfg = rtiow_final_scene(
+        width=192, height=108, max_bounce=0, spp=16
+    )
+    z_cam = dataclasses.replace(z_cam, defocus_strength=np.float32(0.0))
+    img_zm, _ = render_frame_with_stats(z_scene, z_cam, z_cfg, jnp.uint32(5))
+    z_cfg_xla = dataclasses.replace(z_cfg, intersector="bruteforce")
+    img_zx, _ = render_frame_with_stats(
+        z_scene, z_cam, z_cfg_xla, jnp.uint32(5)
+    )
+    az, bz = np.asarray(img_zm), np.asarray(img_zx)
+    relz = (np.abs(az - bz) / (1.0 + np.abs(bz))).max(axis=-1)
+    exact = (relz == 0.0).mean()
+    assert exact > 0.85, (
+        f"TIGHT gate (mb0): megakernel drifted from the XLA path on the "
+        f"deterministic config: only {exact:.4f} of pixels bit-exact "
+        "(hardware-measured healthy value: 0.92)"
+    )
     t_scene, t_cam, t_cfg = rtiow_final_scene(
         width=192, height=108, max_bounce=1, spp=16
     )
@@ -340,11 +366,19 @@ def main():
     )
     a, b = np.asarray(img_tm), np.asarray(img_tx)
     rel = (np.abs(a - b) / (1.0 + np.abs(b))).max(axis=-1)
-    tight = (rel < 1e-4).mean()
-    assert tight > 0.99, (
-        f"TIGHT gate: megakernel drifted from the XLA path on the "
-        f"low-variance config: only {tight:.4f} of pixels within 1e-4"
+    med = float(np.median(rel))
+    assert med < 2e-3, (
+        f"TIGHT gate (mb1): median per-pixel rel {med:.2e} >= 2e-3 "
+        "(hardware-measured healthy value: 4.2e-4)"
     )
+    for c in range(3):
+        mr = abs(float(a[..., c].mean()) - float(b[..., c].mean())) / max(
+            float(b[..., c].mean()), 1e-9
+        )
+        assert mr < 5e-3, (
+            f"TIGHT gate (mb1): channel-{c} mean rel {mr:.2e} >= 5e-3 "
+            "(hardware-measured healthy values: 1.5e-4..8.5e-4)"
+        )
 
     # ---- secondary configs (BASELINE.md configs 2-4 + high-bounce) ----
     secondaries = []

@@ -1948,7 +1948,15 @@ def _render_kernel(
 # allocates (best enc/clu, rng, ray state, light/throughput, counters -
 # keep in sync with _render_frame_mega_ts's scratch_shapes)
 _N_LANE_STATE = 23
-_VMEM_BUDGET = 15 * 1024 * 1024  # ~16 MB/core minus compiler headroom
+# Hardware-calibrated (round 4): launches whose estimate reached
+# 17.86 MB (Balls Outdoors K=8 batched+paired at TS=192, 678 Mrays/s)
+# and 18.58 MB (RTIOW parity K=32 paired at TS=224) both compile and
+# run on v5e - the old 15 MB guess silently pushed the Balls bench to
+# the ~30x-slower XLA path. 19 MB sits just above the largest PROVEN
+# launch; beyond it we still refuse rather than risk a compile-time
+# scoped-vmem OOM (one un-estimated oversized compile wedged the
+# round-3 tunnel for ~8h).
+_VMEM_BUDGET = 19 * 1024 * 1024
 
 
 def mega_vmem_estimate(
