@@ -86,7 +86,7 @@ import os as _os
 LANES = 128
 
 
-def n_phases() -> int:
+def n_phases(override: int | None = None) -> int:
     """Slot phases for the megakernel scheduler: 1 = mixed slots, 2 =
     coherence-split (fresh camera rays and scattered survivors trace in
     alternating slots - see slot_body; measured negative on the RTIOW
@@ -108,6 +108,10 @@ def n_phases() -> int:
                 f"RTX_MEGA_PHASES must be 1 or 2, got {env!r}"
             )
         return v
+    if override is not None:
+        if override not in (1, 2):
+            raise ValueError(f"mega_phases must be 1 or 2, got {override}")
+        return override
     return 1
 
 
@@ -116,6 +120,7 @@ def tile_size(
     adaptive: bool = False,
     batched: bool = False,
     paired: bool = False,
+    override: int | None = None,
 ) -> int:
     env = _os.environ.get("RTX_MEGA_TS")
     if env:
@@ -130,6 +135,15 @@ def tile_size(
                 f"multiple of {LANES} (e.g. 32/64/96/128), got {env!r}"
             )
         return ts
+    if override is not None:
+        # cfg.mega_tile_size: already validated by RenderConfig.validate,
+        # but direct dataclass construction can bypass it - re-check
+        if override <= 0 or (override * override) % LANES != 0:
+            raise ValueError(
+                f"mega_tile_size must have TS*TS a multiple of {LANES}, "
+                f"got {override}"
+            )
+        return override
     if packed.fetch_mode != "onehot":
         return 64
     # measured on the RTIOW 1080p headline: single-frame fixed-spp
@@ -146,7 +160,10 @@ def tile_size(
 
 
 def pixels_per_lane(
-    adaptive: bool = False, batched: bool = False, paired: bool = False
+    adaptive: bool = False,
+    batched: bool = False,
+    paired: bool = False,
+    override: int | None = None,
 ) -> int:
     """Multi-pixel lanes: each kernel lane traces this many pixels in
     sequence, averaging the pixel-intrinsic work imbalance that bounds
@@ -167,6 +184,12 @@ def pixels_per_lane(
                 f"RTX_MEGA_PPL must be 1, 2, 4 or 8, got {env!r}"
             )
         return v
+    if override is not None:
+        if override not in (1, 2, 4, 8):
+            raise ValueError(
+                f"mega_pixels_per_lane must be 1, 2, 4 or 8, got {override}"
+            )
+        return override
     if paired and batched and not adaptive:
         return 4
     return 2 if (batched and not adaptive) else 1
@@ -1988,7 +2011,10 @@ def mega_vmem_estimate(
         + p.tri_attr.size
         + p.fetch_tab2.size
     ) * 4
-    ts = tile_size(p, cfg.adaptive_spp, batched=batched, paired=paired)
+    ts = tile_size(
+        p, cfg.adaptive_spp, batched=batched, paired=paired,
+        override=cfg.mega_tile_size,
+    )
     tile = ts * ts
     lane_state = _N_LANE_STATE * tile * 4
     # per-tile output blocks (r/g/b/segs + hist), double-buffered by the
@@ -2093,10 +2119,17 @@ def render_frame_mega(
     """
     return _render_frame_mega_ts(
         scene, camera, cfg, frame,
-        tile_size(scene.packed, cfg.adaptive_spp), n_phases(), interpret,
+        tile_size(
+            scene.packed, cfg.adaptive_spp, override=cfg.mega_tile_size
+        ),
+        n_phases(cfg.mega_phases), interpret,
         use_cull, stub_fetch, stub_intersect, dup_intersect, dup_fetch,
         y0, band_height, collect_stats,
-        None, 1, pixels_per_lane(cfg.adaptive_spp), segs_map,
+        None, 1,
+        pixels_per_lane(
+            cfg.adaptive_spp, override=cfg.mega_pixels_per_lane
+        ),
+        segs_map,
         perlane=perlane_cull(),
     )
 
@@ -2150,13 +2183,14 @@ def render_frames_mega(
         scene, camera, cfg, frame0,
         tile_size(
             scene.packed, cfg.adaptive_spp, batched=n_frames > 1,
-            paired=paired,
+            paired=paired, override=cfg.mega_tile_size,
         ),
-        n_phases(), interpret,
+        n_phases(cfg.mega_phases), interpret,
         True, False, False, False, False,
         y0, band_height, False, accum, n_frames,
         pixels_per_lane(
-            cfg.adaptive_spp, batched=n_frames > 1, paired=paired
+            cfg.adaptive_spp, batched=n_frames > 1, paired=paired,
+            override=cfg.mega_pixels_per_lane,
         ),
         segs_map, pair_costs, perlane=perlane_cull(),
     )

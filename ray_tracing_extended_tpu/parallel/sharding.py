@@ -174,7 +174,9 @@ def render_frame_mega_sharded(
     """
     from ..kernels.megakernel import render_frame_mega, tile_size
 
-    TS = tile_size(scene.packed, cfg.adaptive_spp)
+    TS = tile_size(
+        scene.packed, cfg.adaptive_spp, override=cfg.mega_tile_size
+    )
 
     # CPU (tests / virtual meshes) requires Pallas interpret mode
     interpret = mesh.devices.flat[0].platform != "tpu"

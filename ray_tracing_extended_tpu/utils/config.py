@@ -58,6 +58,17 @@ class RenderConfig:
     # same image; individual samples differ because the draw sequence
     # changes. Off by default for draw-for-draw reference parity.
     fast_scatter: bool = False
+    # Megakernel scheduler tuning (production surface for what the
+    # RTX_MEGA_TS / RTX_MEGA_PPL / RTX_MEGA_PHASES env vars expose for
+    # perf experiments). None = measured-optimal auto defaults
+    # (kernels/megakernel.py tile_size / pixels_per_lane / n_phases).
+    # These are jit cache keys like every other config field, so they
+    # compose correctly with the jitted public entry points - unlike an
+    # env-var change, which a warm jit cache ignores. The env vars, when
+    # set, still win (dev override for A/B tools).
+    mega_tile_size: int | None = None  # TS*TS must be a multiple of 128
+    mega_pixels_per_lane: int | None = None  # 1, 2, 4 or 8
+    mega_phases: int | None = None  # 1 = mixed slots, 2 = coherence split
 
     def validate(self) -> "RenderConfig":
         """Clamp like OnValidate (RayTracingManager.cs:196-203) and check
@@ -71,6 +82,21 @@ class RenderConfig:
             raise ValueError("image dimensions must be positive")
         if cfg.block_size % 256 != 0:
             raise ValueError("block_size must be a multiple of 256")
+        ts = cfg.mega_tile_size
+        if ts is not None and (ts <= 0 or (ts * ts) % 128 != 0):
+            raise ValueError(
+                "mega_tile_size must be a positive tile size with TS*TS "
+                f"a multiple of 128 (e.g. 32/64/96/128), got {ts}"
+            )
+        if cfg.mega_pixels_per_lane not in (None, 1, 2, 4, 8):
+            raise ValueError(
+                "mega_pixels_per_lane must be 1, 2, 4 or 8, got "
+                f"{cfg.mega_pixels_per_lane}"
+            )
+        if cfg.mega_phases not in (None, 1, 2):
+            raise ValueError(
+                f"mega_phases must be 1 or 2, got {cfg.mega_phases}"
+            )
         return cfg
 
     @property

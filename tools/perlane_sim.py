@@ -54,12 +54,15 @@ from ray_tracing_extended_tpu.ops.materials import (
 from ray_tracing_extended_tpu.ops.trace import PASSTHROUGH_EPS
 
 
-def collect_segments(scene, camera, cfg, frame=1):
+def collect_segments(scene, camera, cfg, frame=1, blk=1 << 18):
     """Render every pixel (spp samples each) recording each live bounce
     segment: (origin, direction, closest-hit t incl. misses as +inf).
     Mirrors ops/trace.py's masked loop; statistics-faithful (same seeds,
     same scatter/RR draws). One SMALL jitted step per bounce, driven
-    from a host loop - a fully unrolled program compiles for minutes."""
+    from a host loop - a fully unrolled program compiles for minutes.
+    ``blk`` bounds the (B, prims) brute-force intermediate - pass a few
+    thousand for 70k-triangle scenes (the default is sized for RTIOW's
+    ~500 spheres)."""
     n = cfg.num_pixels
 
     @jax.jit
@@ -102,7 +105,6 @@ def collect_segments(scene, camera, cfg, frame=1):
         return hit.t, state_n, o_n, d_n, colour_n, alive_n
 
     os_, ds_, ts_, keeps, pixs = [], [], [], [], []
-    blk = 1 << 18  # bound the (B, S) pairwise intermediate
     for b0 in range(0, n, blk):
         pix = jnp.arange(b0, min(b0 + blk, n), dtype=jnp.int32)
         state = rng_ops.seed(pix, jnp.uint32(frame))
