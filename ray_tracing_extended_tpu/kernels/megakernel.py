@@ -86,6 +86,42 @@ import os as _os
 LANES = 128
 
 
+def rowdrain_cull() -> int:
+    """Per-row 1-level sub-cluster drain for LARGE triangle scenes
+    (n_tri_supers > 1, e.g. the 70k-tri BASELINE bunny): replaces the
+    two-level super/sub tile gating - where every lane pays the whole
+    TILE's visit union (measured 475 of 2188 subs/slot at TS=64,
+    round 2) - with per-ROW need bitmask pops over ALL subs in global
+    front-to-back rank order. Measured on real bunny segments
+    (tools/mesh_stats.py): per-row sub unions are 163-291 vs the tile's
+    955 (whole-frame lumped slot model), and the realizable drain cost
+    (rows x max-over-rows popcount, idempotent re-tests on drained
+    rows) is 2.8-3.4x fewer pair blocks under both bracketing t-bound
+    models. A TWO-level drain (per-super inner pops) measured only
+    1.5x - the per-super max-over-rows coupling eats the win - hence
+    1-level.
+
+    HARDWARE VERDICT (v5e, tools/mesh_ab.py --rowdrain, 2026-08-18):
+    Mosaic output bit-identical to the tile-gated loops (equal_frac
+    1.0, same seg count), bunny 0.736 -> 0.830 Mrays/s (+13%). The
+    simulated 2.8-3.4x block reduction does NOT convert 1:1 to wall
+    clock - the same SMEM-scalar drain serialization that made the
+    perlane cull a net LOSS eats most of it - but here the unions
+    shrink enough (3-6x) that the slab-test savings still win, so the
+    default is ON. ppl=2 on top measured 0.749 (the halved row count
+    does not pay for the doubled per-row union); keep ppl=1 here.
+    0 = off (tile-gated super/sub loops), 1 = on (default).
+    RTX_MEGA_ROWDRAIN overrides."""
+    env = _os.environ.get("RTX_MEGA_ROWDRAIN")
+    if env is None:
+        return 1
+    if env not in ("0", "1"):
+        raise ValueError(
+            f"RTX_MEGA_ROWDRAIN must be 0 or 1, got {env!r}"
+        )
+    return int(env)
+
+
 def n_phases(override: int | None = None) -> int:
     """Slot phases for the megakernel scheduler: 1 = mixed slots, 2 =
     coherence-split (fresh camera rays and scattered survivors trace in
@@ -375,8 +411,12 @@ def _render_kernel(
     ohw_ref,  # (SUB, ROWS*128) f32: winner-fetch one-hot (winner mode)
     wacc1_ref,  # (16, ROWS*128) f32: winner geometry accumulator
     wacc2_ref,  # (nwf, ROWS*128) f32: winner attr accumulator
-    sbits_ref,  # SMEM (RS,) i32: per-row need bitmasks (per-lane cull)
-    spop_ref,  # SMEM (RS,) i32: first-round popped bits (perlane mode 2)
+    sbits_ref,  # SMEM i32: per-row need bitmasks - (RS,) for the perlane
+    # drain, (RS * n_tri_supers,) flattened g*W+w words for the rowdrain
+    spop_ref,  # SMEM i32: perlane mode-2 popped bits (RS,), or rowdrain
+    # per-row summary words (RS * ceil(W/32),) - which words are nonzero
+    cnt_ref,  # VMEM (RS, 128) f32 scratch: rowdrain per-row need counts
+    # (column 0); token (1, 128) when rowdrain is off
     *,
     spp: int,
     gb: int,
@@ -412,6 +452,7 @@ def _render_kernel(
     dup_intersect: bool = False,
     dup_fetch: bool = False,
     perlane: int = 0,
+    rowdrain: bool = False,
 ):
     pid = pl.program_id(0)
     TS = ts  # shadow: tile size is per-launch (see tile_size())
@@ -992,6 +1033,15 @@ def _render_kernel(
             return carry
 
         if "tris" in features:
+
+            def tri_visit_row(g, c):
+                cs = tri_cols_slices(tri_cols_ref[c])
+                clu_f = ((nss + c) * SUB).astype(jnp.float32)
+                idx_w = (
+                    (((nss + c) << 5) | sub_iota_i) if wide else None
+                )
+                tri_row_test(g, cs, clu_f, idx_w)
+
             # per-lane cull, triangle flavour: same drain scheme as the
             # sphere branch above (sbits_ref is free again - the sphere
             # drain completed), with the Moller-Trumbore block inlined
@@ -1002,16 +1052,130 @@ def _render_kernel(
                 and n_tri_supers <= 1
                 and 2 <= nst <= 31
             )
-            if perlane_tri:
+            # ---- per-row 1-level sub drain (rowdrain, round 4) ----
+            # Large-mesh scenes (supers > 1): the two-level tile gating
+            # makes every lane pay the TILE's sub visit union (475 of
+            # 2188/slot on the bunny at TS=64); per-ROW unions are
+            # 3-6x smaller on real segments (tools/mesh_stats.py), so
+            # each 128-lane row walks only ITS union, in global
+            # front-to-back rank order, via SMEM bitmask pops:
+            #   - build: for each word w of 32 ranks, 32 t-bounded slab
+            #     tests accumulate two f32 bit-sums per row (24+8 bits,
+            #     exact) which extract to one i32 word sbits[g*W+w];
+            #     per-row nonzero-word SUMMARY bits land in spop[g*SW+.]
+            #     and the need COUNT accumulates in cnt_ref column 0.
+            #   - drain: max-over-rows(count) iterations; each row pops
+            #     its lowest set rank (summary ctz -> word ctz, both via
+            #     the De Bruijn table at tperm[NTP..]), maps rank ->
+            #     cluster through the global f2b perm (tperm[0..NTP)),
+            #     and runs the Moller-Trumbore block for that row only.
+            #     Drained rows pop bit pattern 0 -> clamped in-range
+            #     word -> a padding cluster whose zero columns cannot
+            #     hit: idempotent, no per-row branches (pl.when costs
+            #     ~90 ns/row, the round-2 negative).
+            # Masks are FROZEN at tri-section start (post-sphere best_t)
+            # like perlane mode 1: frozen visits are a superset, which
+            # cannot change the fold winner beyond the encode's
+            # documented ulp-scale two-sidedness.
+            rowdrain_tri = rowdrain and use_cull and n_tri_supers > 1
+            if rowdrain_tri:
+                W = n_tri_supers  # SUPER == 32: exactly one word/super
+                SW = -(-W // 32)
+                NTP = W * SUPER
 
-                def tri_visit_row(g, c):
-                    cs = tri_cols_slices(tri_cols_ref[c])
-                    clu_f = ((nss + c) * SUB).astype(jnp.float32)
-                    idx_w = (
-                        (((nss + c) << 5) | sub_iota_i) if wide else None
+                def rd_build():
+                    cnt_ref[...] = zero_f
+                    for g in range(RS):
+                        for sw in range(SW):
+                            spop_ref[g * SW + sw] = 0
+
+                    def word_body(w, carry):
+                        ba, bh, ca = None, None, None
+                        for k in range(32):
+                            m = tile_hits(
+                                tri_bounds_ref, tperm_ref[w * 32 + k]
+                            )
+                            anyr = jnp.max(
+                                m.astype(jnp.float32), axis=1,
+                                keepdims=True,
+                            )  # (RS, 1)
+                            if k < 24:
+                                wt = np.float32(2.0 ** k)
+                                ba = anyr * wt if ba is None else (
+                                    ba + anyr * wt
+                                )
+                            else:
+                                wt = np.float32(2.0 ** (k - 24))
+                                bh = anyr * wt if bh is None else (
+                                    bh + anyr * wt
+                                )
+                            ca = anyr if ca is None else ca + anyr
+                        cnt_ref[:, 0:1] = cnt_ref[:, 0:1] + ca
+                        for g in range(RS):
+                            word = jnp.sum(ba[g : g + 1, :]).astype(
+                                jnp.int32
+                            ) | (
+                                jnp.sum(bh[g : g + 1, :]).astype(
+                                    jnp.int32
+                                )
+                                << 24
+                            )
+                            sbits_ref[g * W + w] = word
+                            sidx = g * SW + w // 32
+                            spop_ref[sidx] = spop_ref[sidx] | (
+                                (word != 0).astype(jnp.int32)
+                                << (w % 32)
+                            )
+                        return carry
+
+                    lax.fori_loop(0, W, word_body, jnp.int32(0))
+                    return jnp.max(cnt_ref[:, 0:1]).astype(jnp.int32)
+
+                def rd_pop(g):
+                    # lowest nonzero summary word (static SW chain)
+                    ssel = spop_ref[g * SW + SW - 1]
+                    sidx = jnp.int32(g * SW + SW - 1)
+                    wbase = jnp.int32(32 * (SW - 1))
+                    for sw in range(SW - 2, -1, -1):
+                        b = spop_ref[g * SW + sw]
+                        has = b != 0
+                        ssel = jnp.where(has, b, ssel)
+                        sidx = jnp.where(
+                            has, jnp.int32(g * SW + sw), sidx
+                        )
+                        wbase = jnp.where(has, jnp.int32(32 * sw), wbase)
+                    low_s = ssel & (0 - ssel)
+                    jw = ((low_s * _DEBRUIJN) >> 27) & 31
+                    w = jnp.minimum(
+                        wbase + tperm_ref[NTP + jw], jnp.int32(W - 1)
                     )
-                    tri_row_test(g, cs, clu_f, idx_w)
+                    b = sbits_ref[g * W + w]
+                    low = b & (0 - b)
+                    b2 = b - low
+                    sbits_ref[g * W + w] = b2
+                    # drop the word's summary bit once it empties
+                    # (arithmetic - low_s is exactly that bit)
+                    spop_ref[sidx] = ssel - low_s * (b2 == 0).astype(
+                        jnp.int32
+                    )
+                    jb = ((low * _DEBRUIJN) >> 27) & 31
+                    r = w * 32 + tperm_ref[NTP + jb]
+                    tri_visit_row(g, tperm_ref[r])
 
+                n_it_rd = rd_build()
+
+                def rd_drain_it(it, carry):
+                    if count_visits:
+                        r = hist_rows - 2
+                        out_hist_ref[r : r + 1, :] = (
+                            out_hist_ref[r : r + 1, :] + 1
+                        )
+                    for g in range(RS):
+                        rd_pop(g)
+                    return carry
+
+                lax.fori_loop(0, n_it_rd, rd_drain_it, jnp.int32(0))
+            elif perlane_tri:
                 perlane_drain(
                     tri_bounds_ref, tperm_ref, nst, tri_visit_row,
                     hist_rows - 2,
@@ -2044,6 +2208,10 @@ def mega_vmem_estimate(
             (128 + n_fc * nf) * gb * LANES * 4  # oh + bfet
             + (SUB + 16 + nwf) * LANES * 4  # token winner scratch
         )
+    if p.n_tri_supers > 1 and rowdrain_cull():
+        # rowdrain per-row need-count scratch (RS, 128) f32; the
+        # bitmask words live in SMEM and do not count against VMEM
+        fetch_scratch += rows * LANES * 4
     return {
         "tables": table_bytes,
         "lane_state": lane_state,
@@ -2130,7 +2298,7 @@ def render_frame_mega(
             cfg.adaptive_spp, override=cfg.mega_pixels_per_lane
         ),
         segs_map,
-        perlane=perlane_cull(),
+        perlane=perlane_cull(), rowdrain=rowdrain_cull(),
     )
 
 
@@ -2193,6 +2361,7 @@ def render_frames_mega(
             override=cfg.mega_pixels_per_lane,
         ),
         segs_map, pair_costs, perlane=perlane_cull(),
+        rowdrain=rowdrain_cull(),
     )
 
 
@@ -2211,7 +2380,7 @@ def _debruijn_ranks() -> np.ndarray:
     return rank
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "ts", "phases", "interpret", "use_cull", "stub_fetch", "stub_intersect", "dup_intersect", "dup_fetch", "band_height", "collect_stats", "n_frames", "ppl", "segs_map", "perlane"))
+@functools.partial(jax.jit, static_argnames=("cfg", "ts", "phases", "interpret", "use_cull", "stub_fetch", "stub_intersect", "dup_intersect", "dup_fetch", "band_height", "collect_stats", "n_frames", "ppl", "segs_map", "perlane", "rowdrain"))
 def _render_frame_mega_ts(
     scene: Scene,
     camera,
@@ -2234,6 +2403,7 @@ def _render_frame_mega_ts(
     segs_map: bool = False,
     pair_costs=None,
     perlane: bool = False,
+    rowdrain: int = 0,
 ):
     import math as _math
 
@@ -2341,6 +2511,12 @@ def _render_frame_mega_ts(
     )
     use_perlane = perlane_sph_ok or perlane_tri_ok
     perlane_mode = perlane if use_perlane else 0
+    use_rowdrain = (
+        rowdrain > 0
+        and use_cull
+        and "tris" in p.features
+        and p.n_tri_supers > 1
+    )
     if perlane_sph_ok:
         # drain-loop ctz table, composed with the f2b order: slot
         # nss_visit + j maps De Bruijn index j to its cluster. Ranks
@@ -2350,7 +2526,17 @@ def _render_frame_mega_ts(
         ranks = np.minimum(_debruijn_ranks(), p.n_sphere_subs_visit - 1)
         sperm = jnp.concatenate([sperm, sperm[jnp.asarray(ranks)]])
     sperm_sup = _f2b(p.sph_super_bounds)
-    if p.n_tri_supers > 1:
+    if use_rowdrain:
+        # 1-level per-row drain: GLOBAL front-to-back rank order over
+        # every (padded) sub - padding boxes are inverted (pack._supers)
+        # so their distance is huge and they sort last; their need bits
+        # never set. The 32-entry De Bruijn ctz table rides at offset
+        # NTP for the drain's summary-word and word pops.
+        tperm = jnp.concatenate([
+            _f2b(p.tri_sub_bounds),
+            jnp.asarray(_debruijn_ranks()),
+        ])
+    elif p.n_tri_supers > 1:
         tperm = _f2b_within(p.tri_sub_bounds, p.n_tri_supers)
     else:
         tperm = _f2b(p.tri_sub_bounds[: max(p.n_tri_subs, 1)])
@@ -2448,6 +2634,7 @@ def _render_frame_mega_ts(
         dup_intersect=dup_intersect,
         dup_fetch=dup_fetch,
         perlane=perlane_mode,
+        rowdrain=use_rowdrain,
     )
     full = lambda a: pl.BlockSpec(
         a.shape,
@@ -2553,10 +2740,22 @@ def _render_frame_mega_ts(
                 (nwf, (RS if p.fetch_mode == "winner" else 1) * LANES),
                 jnp.float32,
             ),  # winner attr acc
-            # per-row need bitmasks for the per-lane cull drain loop +
-            # mode-2 first-round popped bits (token-sized when off)
-            pltpu.SMEM((RS if use_perlane else 1,), jnp.int32),
-            pltpu.SMEM((RS if perlane_mode >= 2 else 1,), jnp.int32),
+            # per-row need bitmasks: perlane drain (RS,) / rowdrain
+            # (RS * W,) word array; second ref holds perlane mode-2
+            # popped bits (RS,) / rowdrain summary words (RS * SW,);
+            # token-sized when both are off
+            pltpu.SMEM((
+                RS * p.n_tri_supers if use_rowdrain
+                else (RS if use_perlane else 1),
+            ), jnp.int32),
+            pltpu.SMEM((
+                RS * -(-p.n_tri_supers // 32) if use_rowdrain
+                else (RS if perlane_mode >= 2 else 1),
+            ), jnp.int32),
+            # rowdrain per-row need counts (column 0)
+            pltpu.VMEM(
+                (RS if use_rowdrain else 1, LANES), jnp.float32
+            ),
         ],
     )
     r, g, b, segs, hist = pl.pallas_call(

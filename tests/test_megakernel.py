@@ -572,3 +572,37 @@ def test_mega_config_tuning_fields(monkeypatch):
         dataclasses.replace(cfg, mega_phases=0).validate()
     with pytest.raises(ValueError, match="mega_tile_size"):
         tile_size(scene.packed, False, override=17)
+
+
+def test_mega_rowdrain_matches_default(monkeypatch):
+    """Per-row 1-level sub drain (RTX_MEGA_ROWDRAIN, large tri scenes
+    with >1 super-cluster): bit-identical to the tile-gated two-level
+    loops in both fetch modes. The 2-super knot exercises a full 32-rank
+    word (incl. the i32 sign-bit rank 31) plus a partial second word and
+    the idempotent empty-row pop path."""
+    import os
+
+    import ray_tracing_extended_tpu.kernels.pack as pack
+    from ray_tracing_extended_tpu.models.presets import mesh_scene
+
+    monkeypatch.setitem(os.environ, "RTX_MEGA_TS", "16")
+    for winner in (False, True):
+        if winner:
+            monkeypatch.setattr(pack, "ONEHOT_MAX_SLOTS", 64)
+        scene, cam, cfg = mesh_scene(
+            width=32, height=16, spp=1, target_tris=1200
+        )
+        p = scene.packed
+        assert p.n_tri_supers > 1
+        assert (p.fetch_mode == "winner") == winner
+        monkeypatch.setitem(os.environ, "RTX_MEGA_ROWDRAIN", "0")
+        a, sa = render_frame_mega(
+            scene, cam, cfg, jnp.uint32(1), interpret=True
+        )
+        monkeypatch.setitem(os.environ, "RTX_MEGA_ROWDRAIN", "1")
+        b, sb = render_frame_mega(
+            scene, cam, cfg, jnp.uint32(1), interpret=True
+        )
+        a, b = np.asarray(a), np.asarray(b)
+        assert int(sa) == int(sb) and int(sa) > 0
+        np.testing.assert_array_equal(a, b)

@@ -168,11 +168,38 @@ def worker_mesh(reps=3, frames=2):
     return {"mrays": round(best, 3)}
 
 
+def worker_gate_rowdrain():
+    """Small mesh frame: RTX_MEGA_ROWDRAIN=1 must match the default
+    two-level tile-gated output bit-for-bit on Mosaic (it does in
+    interpret mode - tests/test_megakernel.py)."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from ray_tracing_extended_tpu.kernels.megakernel import render_frame_mega
+
+    scene, cam, cfg = _mesh(small=True)
+    _vmem_gate(scene, cfg)
+    img0, s0 = render_frame_mega(scene, cam, cfg, jnp.uint32(1))
+    int(s0)
+    os.environ["RTX_MEGA_ROWDRAIN"] = "1"
+    try:
+        img1, s1 = render_frame_mega(scene, cam, cfg, jnp.uint32(1))
+        int(s1)
+    finally:
+        os.environ.pop("RTX_MEGA_ROWDRAIN", None)
+    d = np.abs(np.asarray(img0) - np.asarray(img1)).max(axis=-1)
+    assert (d == 0).mean() > 0.99, "rowdrain Mosaic output drifted"
+    return {"equal_frac": float((d == 0).mean()),
+            "max_diff": float(d.max()),
+            "segs": [int(s0), int(s1)]}
+
+
 WORKERS = {
     "gate": worker_gate,
     "gate_sub16": worker_gate_sub16,
     "ref16": worker_ref16,
     "mesh": worker_mesh,
+    "gate_rowdrain": worker_gate_rowdrain,
 }
 
 
@@ -247,8 +274,29 @@ def main():
     print("SUMMARY " + json.dumps(summary), flush=True)
 
 
+def main_rowdrain():
+    """Round-4 per-row 1-level drain A/B (run after the knob sweep)."""
+    print(f"results -> {RESULTS}", flush=True)
+    spawn("gate_rowdrain", {}, tag="rowdrain Mosaic output vs default")
+    res = {}
+    res["off"] = spawn("mesh", {}, tag="mesh rowdrain=0")
+    res["on"] = spawn("mesh", {"RTX_MEGA_ROWDRAIN": "1"},
+                      tag="mesh rowdrain=1")
+    # interaction: multi-pixel lanes halve the row count (and the
+    # per-iteration pop overhead) at unchanged per-row unions
+    res["on_ppl2"] = spawn(
+        "mesh", {"RTX_MEGA_ROWDRAIN": "1", "RTX_MEGA_PPL": "2"},
+        tag="mesh rowdrain=1 ppl=2",
+    )
+    summary = {k: r.get("mrays", r.get("error", "?"))
+               for k, r in res.items()}
+    print("SUMMARY " + json.dumps(summary), flush=True)
+
+
 if __name__ == "__main__":
     if "--worker" in sys.argv:
         run_worker(sys.argv[sys.argv.index("--worker") + 1])
+    elif "--rowdrain" in sys.argv:
+        main_rowdrain()
     else:
         main()
