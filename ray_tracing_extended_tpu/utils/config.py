@@ -47,8 +47,12 @@ class RenderConfig:
     # lengths, and refills still in flight when the static slot bound is
     # exhausted are dropped - a stopping-time effect bounded by ~one
     # partial sample over >= spp completed ones (slight preference for
-    # short-path radiance). Use the default exact-spp mode where strict
-    # estimator neutrality matters.
+    # short-path radiance). MEASURED on v5e (tools/adaptive_bias.py,
+    # paired 32-frame image means, shared RNG streams, 2026-08-18):
+    # RTIOW 480x270 spp16 rel bias +0.198% +- 0.013% (95% CI, t=28.8);
+    # Cornell 256x256 depth-8 -0.048% +- 0.084% (consistent with 0).
+    # i.e. well under 1% of image mean everywhere measured. Use the
+    # default exact-spp mode where strict estimator neutrality matters.
     adaptive_spp: bool = False
     # Fast scatter sampler (megakernel only): Marsaglia-style uniform unit
     # vector (2 PCG draws, sqrt+sin+cos) instead of the reference's three
