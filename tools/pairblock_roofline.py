@@ -1,0 +1,189 @@
+"""Isolated sphere pair-test block roofline: the achievable ceiling of
+the megakernel's hot loop, WITHOUT scheduler/slab/fetch/occupancy.
+
+tools/vpu_roofline.py measures the pure mul+max issue rate (~8.9 T
+el-ops/s on v5e, round 4 - NOT the ~4 T recorded in round 3's
+speed-of-light section, which this round's re-run corrects). The pair
+loop sustains only ~2.7 T by that accounting, so the question is where
+the 3.3x sits: the block's own instruction mix (broadcast (1,128) rows
+against (SUB,1) cluster columns, one sqrt in the chain, the where+
+bitcast encode, VMEM scratch round-trips Mosaic cannot register-
+allocate across scf iterations) or the kernel around it (slab tests,
+scheduler, shading, refill).
+
+This kernel replays the EXACT sphere_row_test + fold_pair sequence
+(megakernel.py:778-806, wide encode) over resident (RS, 128) ray
+state and a resident cluster-column table, V visits per row per grid
+step, nothing else. el-ops counted exactly like ROADMAP round 3
+(30/pair-test: 3 sub, 5 b, 6 cc, 4 tq chain + sqrt as 1, ~6 encode,
+5 fold/bookkeeping).
+
+Usage: python tools/pairblock_roofline.py [variant...] -> one JSON
+line per variant. Variants decompose the instruction-mix cost:
+  full      the exact kernel block (default)
+  nosqrt    sqrt replaced by a mul (quantifies the sqrt's share)
+  noenc     plain f32 min of tq, no where/bitcast encode
+  nomin     encode kept, running-best min/store dropped (scratch IO)
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+LANES = 128
+SUB = 32
+RS = 8          # rows of ray state, like TS=128/ppl=2 parity launches
+NCL = 16        # resident clusters in the cols table
+VISITS = 8      # cluster visits per row per outer step
+STEPS = 64      # outer steps per grid program
+GRID = 64
+OPS_PER_PAIR = 30
+_INF = np.float32(np.inf)
+_WIDEN = np.int32(~2047)
+
+
+def _make_kernel(variant):
+    def _kernel(rays_ref, cols_ref, o_ref, best_ref):
+        _kernel_body(rays_ref, cols_ref, o_ref, best_ref, variant)
+
+    return _kernel
+
+
+def _kernel_body(rays_ref, cols_ref, o_ref, best_ref, variant):
+    ox = rays_ref[0:RS, :]
+    oy = rays_ref[RS : 2 * RS, :]
+    oz = rays_ref[2 * RS : 3 * RS, :]
+    dx = rays_ref[3 * RS : 4 * RS, :]
+    dy = rays_ref[4 * RS : 5 * RS, :]
+    dz = rays_ref[5 * RS : 6 * RS, :]
+    sub_iota_i = lax.broadcasted_iota(jnp.int32, (SUB, LANES), 0)
+    best_ref[...] = jnp.zeros((RS, LANES), jnp.float32) + _INF
+
+    def step(it, carry):
+        for g in range(RS):
+            for v in range(VISITS):
+                # dynamic, step-varying cluster index: defeats hoisting
+                # the cols loads out of the loop, like the drain's
+                # data-dependent visit order does in the real kernel
+                c = (it * 7 + g * 3 + v) % NCL
+                cols = cols_ref[c]
+                cx = cols[:, 0:1]
+                cy = cols[:, 1:2]
+                cz = cols[:, 2:3]
+                r2c = cols[:, 4:5]
+                ocx = ox[g : g + 1, :] - cx
+                ocy = oy[g : g + 1, :] - cy
+                ocz = oz[g : g + 1, :] - cz
+                b = (
+                    ocx * dx[g : g + 1, :]
+                    + ocy * dy[g : g + 1, :]
+                    + ocz * dz[g : g + 1, :]
+                )
+                cc = ocx * ocx + ocy * ocy + ocz * ocz - r2c
+                if variant == "nosqrt":
+                    tq = -b - (b * b - cc) * np.float32(0.5)
+                else:
+                    tq = -b - jnp.sqrt(b * b - cc)
+                if variant == "noenc":
+                    enc = jnp.where(tq >= 0.0, tq, _INF)
+                else:
+                    idx_w = (c << 5) | sub_iota_i
+                    enc = jnp.where(
+                        tq >= 0.0,
+                        pltpu.bitcast(
+                            (pltpu.bitcast(tq, jnp.int32) & _WIDEN)
+                            | idx_w,
+                            jnp.float32,
+                        ),
+                        _INF,
+                    )
+                enc_min = jnp.min(enc, axis=0, keepdims=True)
+                if variant == "nomin":
+                    # store-only (no scratch load + min): quantifies the
+                    # running-best round-trip Mosaic cannot register-
+                    # allocate across scf iterations
+                    best_ref[g : g + 1, :] = enc_min
+                else:
+                    best_ref[g : g + 1, :] = jnp.minimum(
+                        enc_min, best_ref[g : g + 1, :]
+                    )
+        return carry
+
+    lax.fori_loop(0, STEPS, step, jnp.int32(0))
+    o_ref[...] = best_ref[...]
+
+
+def measure(variant: str = "full") -> dict:
+    rng = np.random.default_rng(7)
+    rays = rng.normal(size=(6 * RS, LANES)).astype(np.float32)
+    rays[:3] += 4.0  # origins away from the cluster cloud
+    d = rays[3 * RS :].reshape(3, RS, LANES)
+    d /= np.linalg.norm(d, axis=0, keepdims=True)
+    cols = np.zeros((NCL, SUB, 8), np.float32)
+    cols[..., :3] = rng.normal(size=(NCL, SUB, 3))
+    cols[..., 4] = 0.25  # r^2
+
+    fn = pl.pallas_call(
+        _make_kernel(variant),
+        grid=(GRID,),
+        in_specs=[
+            pl.BlockSpec(
+                rays.shape, lambda i: (0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                cols.shape, lambda i: (0, 0, 0), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (RS, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((GRID * RS, LANES), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((RS, LANES), jnp.float32)],
+    )
+    r = jnp.asarray(rays)
+    c = jnp.asarray(cols)
+
+    def timed(k):
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            acc = jnp.float32(0.0)
+            for _ in range(k):
+                acc = acc + jnp.sum(
+                    jnp.where(jnp.isfinite(fn(r, c)), 1.0, 0.0)
+                )
+            int(acc)
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    int(jnp.sum(jnp.where(jnp.isfinite(fn(r, c)), 1.0, 0.0)))  # warm
+    t1 = timed(1)
+    t10 = timed(10)
+    per_call = max((t10 - t1) / 9.0, 1e-9)
+    pairs = GRID * STEPS * RS * VISITS * SUB * LANES
+    el_ops = pairs * OPS_PER_PAIR
+    return {
+        "variant": variant,
+        "pairblock_tflops": round(el_ops / per_call / 1e12, 3),
+        "wall_ms": round(per_call * 1000, 3),
+        "t1_ms": round(t1 * 1000, 3),
+        "pairs": pairs,
+        "ops_per_pair": OPS_PER_PAIR,
+        "device": str(jax.devices()[0]),
+    }
+
+
+if __name__ == "__main__":
+    import sys
+
+    variants = [a for a in sys.argv[1:] if not a.startswith("-")]
+    for v in variants or ["full"]:
+        print(json.dumps(measure(v)), flush=True)
