@@ -69,9 +69,21 @@ def union_stats(mask, pix, W, ts, rng, sup_of=None):
     tile = (y // ts) * ((W + ts - 1) // ts) + (x // ts)
     local = (y % ts) * ts + (x % ts)
     row = local // 128
+    # 'morton' layout: local index = Morton code of (lx, ly) within the
+    # tile, so each 128-lane row is a compact 2^a x 2^b pixel PATCH
+    # (16x8 at ts=64) instead of a 2-row raster strip. Implementable as
+    # a pure within-tile pixel permutation (the cost-pairing machinery
+    # already routes one through the kernel) - zero kernel changes.
+    lx, ly = x % ts, y % ts
+    mcode = np.zeros_like(lx)
+    for b in range(int(np.log2(ts))):
+        mcode |= ((lx >> b) & 1) << (2 * b) | ((ly >> b) & 1) << (
+            2 * b + 1
+        )
+    row_m = mcode // 128
     rows_per_tile = (ts * ts) // 128
     out = {}
-    for model in ("coh", "mix"):
+    for model in ("coh", "morton", "mix"):
         row_sizes, tile_sizes = [], []
         drain1, drain2 = [], []
         for t in np.unique(tile):
@@ -82,6 +94,8 @@ def union_stats(mask, pix, W, ts, rng, sup_of=None):
                 # contributes several bounce segments to this lumped
                 # whole-frame "slot")
                 r = rng.permutation(len(sel)) * rows_per_tile // len(sel)
+            elif model == "morton":
+                r = row_m[sel]
             else:
                 r = row[sel]
             m = mask[sel]
@@ -155,7 +169,7 @@ def main():
         for ts in (64,):
             su = union_stats(sup_m, pix, W, ts, rng)
             sb = union_stats(sub_m, pix, W, ts, rng, sup_of=sup_of)
-            for model in ("coh", "mix"):
+            for model in ("coh", "morton", "mix"):
                 r_s, t_s, rpt, _, _ = su[model]
                 r_b, t_b2, _, d1, d2 = sb[model]
                 # pair blocks per tile: tile-gated = rows * tile union;
