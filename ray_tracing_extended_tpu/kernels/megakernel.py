@@ -86,7 +86,7 @@ import os as _os
 LANES = 128
 
 
-def rowdrain_cull() -> int:
+def rowdrain_cull(override: bool | None = None) -> int:
     """Per-row 1-level sub-cluster drain for LARGE triangle scenes
     (n_tri_supers > 1, e.g. the 70k-tri BASELINE bunny): replaces the
     two-level super/sub tile gating - where every lane pays the whole
@@ -111,15 +111,18 @@ def rowdrain_cull() -> int:
     default is ON. ppl=2 on top measured 0.749 (the halved row count
     does not pay for the doubled per-row union); keep ppl=1 here.
     0 = off (tile-gated super/sub loops), 1 = on (default).
-    RTX_MEGA_ROWDRAIN overrides."""
+    ``override`` is cfg.mega_rowdrain (the production jit-cache-safe
+    surface); RTX_MEGA_ROWDRAIN wins over both when set (dev A/B)."""
     env = _os.environ.get("RTX_MEGA_ROWDRAIN")
-    if env is None:
-        return 1
-    if env not in ("0", "1"):
-        raise ValueError(
-            f"RTX_MEGA_ROWDRAIN must be 0 or 1, got {env!r}"
-        )
-    return int(env)
+    if env is not None:
+        if env not in ("0", "1"):
+            raise ValueError(
+                f"RTX_MEGA_ROWDRAIN must be 0 or 1, got {env!r}"
+            )
+        return int(env)
+    if override is not None:
+        return int(bool(override))
+    return 1
 
 
 def n_phases(override: int | None = None) -> int:
@@ -2208,7 +2211,7 @@ def mega_vmem_estimate(
             (128 + n_fc * nf) * gb * LANES * 4  # oh + bfet
             + (SUB + 16 + nwf) * LANES * 4  # token winner scratch
         )
-    if p.n_tri_supers > 1 and rowdrain_cull():
+    if p.n_tri_supers > 1 and rowdrain_cull(cfg.mega_rowdrain):
         # rowdrain per-row need-count scratch (RS, 128) f32; the
         # bitmask words live in SMEM and do not count against VMEM
         fetch_scratch += rows * LANES * 4
@@ -2298,7 +2301,8 @@ def render_frame_mega(
             cfg.adaptive_spp, override=cfg.mega_pixels_per_lane
         ),
         segs_map,
-        perlane=perlane_cull(), rowdrain=rowdrain_cull(),
+        perlane=perlane_cull(),
+        rowdrain=rowdrain_cull(cfg.mega_rowdrain),
     )
 
 
@@ -2361,7 +2365,7 @@ def render_frames_mega(
             override=cfg.mega_pixels_per_lane,
         ),
         segs_map, pair_costs, perlane=perlane_cull(),
-        rowdrain=rowdrain_cull(),
+        rowdrain=rowdrain_cull(cfg.mega_rowdrain),
     )
 
 

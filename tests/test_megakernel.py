@@ -573,6 +573,18 @@ def test_mega_config_tuning_fields(monkeypatch):
     with pytest.raises(ValueError, match="mega_tile_size"):
         tile_size(scene.packed, False, override=17)
 
+    from ray_tracing_extended_tpu.kernels.megakernel import rowdrain_cull
+
+    # cfg.mega_rowdrain routes to the knob; env keeps dev precedence
+    monkeypatch.delitem(os.environ, "RTX_MEGA_ROWDRAIN", raising=False)
+    assert rowdrain_cull(None) == 1
+    assert rowdrain_cull(False) == 0 and rowdrain_cull(True) == 1
+    monkeypatch.setitem(os.environ, "RTX_MEGA_ROWDRAIN", "0")
+    assert rowdrain_cull(True) == 0
+    monkeypatch.delitem(os.environ, "RTX_MEGA_ROWDRAIN")
+    with pytest.raises(ValueError, match="mega_rowdrain"):
+        dataclasses.replace(cfg, mega_rowdrain=3).validate()
+
 
 def test_mega_rowdrain_matches_default(monkeypatch):
     """Per-row 1-level sub drain (RTX_MEGA_ROWDRAIN, large tri scenes
