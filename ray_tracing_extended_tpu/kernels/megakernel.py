@@ -86,7 +86,10 @@ import os as _os
 LANES = 128
 
 
-def rowdrain_cull(override: bool | None = None) -> int:
+ROWDRAIN_MIN_SUBS = 1024  # auto threshold, see rowdrain_cull()
+
+
+def rowdrain_cull(override: bool | None = None) -> int | None:
     """Per-row 1-level sub-cluster drain for LARGE triangle scenes
     (n_tri_supers > 1, e.g. the 70k-tri BASELINE bunny): replaces the
     two-level super/sub tile gating - where every lane pays the whole
@@ -101,16 +104,21 @@ def rowdrain_cull(override: bool | None = None) -> int:
     1.5x - the per-super max-over-rows coupling eats the win - hence
     1-level.
 
-    HARDWARE VERDICT (v5e, tools/mesh_ab.py --rowdrain, 2026-08-18):
-    Mosaic output bit-identical to the tile-gated loops (equal_frac
-    1.0, same seg count), bunny 0.736 -> 0.830 Mrays/s (+13%). The
-    simulated 2.8-3.4x block reduction does NOT convert 1:1 to wall
-    clock - the same SMEM-scalar drain serialization that made the
-    perlane cull a net LOSS eats most of it - but here the unions
-    shrink enough (3-6x) that the slab-test savings still win, so the
-    default is ON. ppl=2 on top measured 0.749 (the halved row count
-    does not pay for the doubled per-row union); keep ppl=1 here.
-    0 = off (tile-gated super/sub loops), 1 = on (default).
+    HARDWARE VERDICT (v5e, tools/mesh_ab.py --rowdrain + per-scene
+    A/Bs, 2026-08-18): Mosaic output bit-identical to the tile-gated
+    loops (equal_frac 1.0, same seg count). Wall clock depends on
+    scene size - the drain pays a fixed mask-build over ALL sub ranks
+    plus SMEM-serialized pops, which only amortizes when the tile
+    union it replaces is big:
+      70k-tri bunny (2188 subs): 0.736 -> 0.830 Mrays/s  (+13%, WINS)
+      20k-tri mesh   (624 subs): 3.30  -> 3.04           (-8%)
+      8k-tri mesh    (248 subs): 6.68  -> 4.74           (-29%)
+      Chess 5.9k     (186 subs): 11.33 -> 8.72           (-23%)
+    AUTO therefore enables it only at n_tri_subs >= ROWDRAIN_MIN_SUBS
+    (1024, between the measured crossover points). ppl=2 on top
+    measured 0.749 on the bunny (halved rows don't pay for doubled
+    unions); keep ppl=1.
+    Returns 0 = force off, 1 = force on, None = auto (size rule).
     ``override`` is cfg.mega_rowdrain (the production jit-cache-safe
     surface); RTX_MEGA_ROWDRAIN wins over both when set (dev A/B)."""
     env = _os.environ.get("RTX_MEGA_ROWDRAIN")
@@ -122,7 +130,7 @@ def rowdrain_cull(override: bool | None = None) -> int:
         return int(env)
     if override is not None:
         return int(bool(override))
-    return 1
+    return None
 
 
 def n_phases(override: int | None = None) -> int:
@@ -2211,7 +2219,11 @@ def mega_vmem_estimate(
             (128 + n_fc * nf) * gb * LANES * 4  # oh + bfet
             + (SUB + 16 + nwf) * LANES * 4  # token winner scratch
         )
-    if p.n_tri_supers > 1 and rowdrain_cull(cfg.mega_rowdrain):
+    _rd = rowdrain_cull(cfg.mega_rowdrain)
+    if p.n_tri_supers > 1 and (
+        _rd > 0 if _rd is not None
+        else p.n_tri_subs >= ROWDRAIN_MIN_SUBS
+    ):
         # rowdrain per-row need-count scratch (RS, 128) f32; the
         # bitmask words live in SMEM and do not count against VMEM
         fetch_scratch += rows * LANES * 4
@@ -2407,7 +2419,7 @@ def _render_frame_mega_ts(
     segs_map: bool = False,
     pair_costs=None,
     perlane: bool = False,
-    rowdrain: int = 0,
+    rowdrain: int | None = None,
 ):
     import math as _math
 
@@ -2516,7 +2528,11 @@ def _render_frame_mega_ts(
     use_perlane = perlane_sph_ok or perlane_tri_ok
     perlane_mode = perlane if use_perlane else 0
     use_rowdrain = (
-        rowdrain > 0
+        (
+            rowdrain > 0
+            if rowdrain is not None
+            else p.n_tri_subs >= ROWDRAIN_MIN_SUBS
+        )
         and use_cull
         and "tris" in p.features
         and p.n_tri_supers > 1

@@ -73,8 +73,10 @@ class RenderConfig:
     mega_tile_size: int | None = None  # TS*TS must be a multiple of 128
     mega_pixels_per_lane: int | None = None  # 1, 2, 4 or 8
     mega_phases: int | None = None  # 1 = mixed slots, 2 = coherence split
-    # per-row sub drain on large tri scenes (>1 super): measured +13%
-    # on the 70k-tri bunny; output bit-identical either way
+    # per-row sub drain on tri scenes with >1 super-cluster: output
+    # bit-identical either way; wall clock is size-dependent (bunny
+    # 2188 subs +13%, Chess 186 subs -23%), so None = auto (on at
+    # >= 1024 subs, megakernel.ROWDRAIN_MIN_SUBS). True/False force.
     mega_rowdrain: bool | None = None
 
     def validate(self) -> "RenderConfig":

@@ -577,7 +577,7 @@ def test_mega_config_tuning_fields(monkeypatch):
 
     # cfg.mega_rowdrain routes to the knob; env keeps dev precedence
     monkeypatch.delitem(os.environ, "RTX_MEGA_ROWDRAIN", raising=False)
-    assert rowdrain_cull(None) == 1
+    assert rowdrain_cull(None) is None  # auto: size rule in the launcher
     assert rowdrain_cull(False) == 0 and rowdrain_cull(True) == 1
     monkeypatch.setitem(os.environ, "RTX_MEGA_ROWDRAIN", "0")
     assert rowdrain_cull(True) == 0
