@@ -194,12 +194,58 @@ def worker_gate_rowdrain():
             "segs": [int(s0), int(s1)]}
 
 
+def worker_scene(reps=3, frames=3):
+    """Bench a parameterized tri scene at 1280x720 (RTX_AB_SCENE env:
+    'chess' for the shipped JSON mirror, or an integer target_tris for
+    the mesh preset). Used by --sizegate to place the rowdrain auto
+    threshold."""
+    import jax.numpy as jnp
+
+    from ray_tracing_extended_tpu.render import render_frame_with_stats
+
+    which = os.environ.get("RTX_AB_SCENE", "chess")
+    if which == "chess":
+        from ray_tracing_extended_tpu.scene.json_scene import (
+            load_json_scene,
+        )
+
+        scene, cam, cfg = load_json_scene(
+            os.path.join(REPO, "scenes", "chess.json"),
+            overrides={"width": 1280, "height": 720},
+        )
+    else:
+        from ray_tracing_extended_tpu.models import presets
+
+        scene, cam, cfg = presets.mesh_scene(
+            width=1280, height=720, spp=1, target_tris=int(which)
+        )
+    _vmem_gate(scene, cfg)
+    img, segs = render_frame_with_stats(scene, cam, cfg, jnp.uint32(1))
+    int(segs)
+    best = 0.0
+    f = 2
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        total = jnp.uint32(0)
+        for _ in range(frames):
+            img, segs = render_frame_with_stats(
+                scene, cam, cfg, jnp.uint32(f)
+            )
+            total = total + segs
+            f += 1
+        s = int(total)
+        best = max(best, s / frames / (time.perf_counter() - t0) / 1e6)
+    return {"scene": which, "subs": int(scene.packed.n_tri_subs),
+            "mrays": round(best, 3)}
+
+
 WORKERS = {
     "gate": worker_gate,
     "gate_sub16": worker_gate_sub16,
     "ref16": worker_ref16,
     "mesh": worker_mesh,
     "gate_rowdrain": worker_gate_rowdrain,
+    "scene": worker_scene,
 }
 
 
@@ -293,10 +339,36 @@ def main_rowdrain():
     print("SUMMARY " + json.dumps(summary), flush=True)
 
 
+def main_sizegate():
+    """Rowdrain across the scene-size ladder (round-4 calibration of
+    ROWDRAIN_MIN_SUBS; measured 2026-08-18: chess/186 subs -23%,
+    8k/248 -29%, 20k/624 -8%, 70k/2188 +13% -> threshold 1024)."""
+    print(f"results -> {RESULTS}", flush=True)
+    for scene in ("chess", "8000", "20000", "70000"):
+        res = {}
+        for rd in ("0", "1"):
+            res[rd] = spawn(
+                "scene",
+                {"RTX_AB_SCENE": scene, "RTX_MEGA_ROWDRAIN": rd},
+                tag=f"{scene} rowdrain={rd}",
+            )
+        print(
+            "SUMMARY "
+            + json.dumps({
+                "scene": scene,
+                "off": res["0"].get("mrays", res["0"].get("error")),
+                "on": res["1"].get("mrays", res["1"].get("error")),
+            }),
+            flush=True,
+        )
+
+
 if __name__ == "__main__":
     if "--worker" in sys.argv:
         run_worker(sys.argv[sys.argv.index("--worker") + 1])
     elif "--rowdrain" in sys.argv:
         main_rowdrain()
+    elif "--sizegate" in sys.argv:
+        main_sizegate()
     else:
         main()
