@@ -420,6 +420,26 @@ def main():
             "skipped": f"scene mirror not found: {_balls}",
         }), flush=True)
 
+    # Chess (5.9k tris / ~188 subs across 6 supers): the mid-size mesh
+    # class where the rowdrain default must stay OFF (size-gated at
+    # ROWDRAIN_MIN_SUBS after the round-4 A/Bs: -23% if it leaks on
+    # here). Driver-capturing it guards that default every round.
+    _chess = _os.path.join(_here, "scenes", "chess.json")
+    if _os.path.exists(_chess):
+        from ray_tracing_extended_tpu.scene.json_scene import load_json_scene
+
+        c2_scene, c2_cam, c2_cfg = load_json_scene(
+            _chess, overrides=dict(width=1280, height=720)
+        )
+        secondaries.append(_bench_secondary(
+            "Chess 720p 3x15 DoF (Mrays/s)", c2_scene, c2_cam, c2_cfg,
+        ))
+    else:
+        print(json.dumps({
+            "metric": "Chess 720p 3x15 DoF (Mrays/s)",
+            "skipped": f"scene mirror not found: {_chess}",
+        }), flush=True)
+
     # ---- headline: adaptive + parity ----
     n_frames, n_runs = 4, 5
     frame = {"i": 1}
