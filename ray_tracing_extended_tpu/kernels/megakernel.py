@@ -114,8 +114,10 @@ def rowdrain_cull(override: bool | None = None) -> int | None:
       20k-tri mesh   (624 subs): 3.30  -> 3.04           (-8%)
       8k-tri mesh    (248 subs): 6.68  -> 4.74           (-29%)
       Chess 5.9k     (186 subs): 11.33 -> 8.72           (-23%)
+      35k-tri mesh  (1092 subs): 0.75  -> 0.73           (wash)
     AUTO therefore enables it only at n_tri_subs >= ROWDRAIN_MIN_SUBS
-    (1024, between the measured crossover points). ppl=2 on top
+    (1024 - validated as the crossover: a wash immediately above it,
+    clear losses below, the +13% win at 2x above). ppl=2 on top
     measured 0.749 on the bunny (halved rows don't pay for doubled
     unions); keep ppl=1.
     Returns 0 = force off, 1 = force on, None = auto (size rule).
