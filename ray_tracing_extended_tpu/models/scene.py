@@ -178,6 +178,7 @@ class SceneBuilder:
                 else np.asarray(transform, np.float32),
                 "max_tris": max_tris_per_chunk,
                 "chunked": chunked,
+                "local_chunks": None,  # [(tri_pos, tri_normal)] local space
                 "cache": None,  # (transform_bytes, [chunk tuples])
             }
         )
@@ -199,40 +200,66 @@ class SceneBuilder:
         return self
 
     def _mesh_chunks(self, rec: dict) -> list:
-        """World-space chunk tuples for one mesh record, memoized per
-        transform (a static mesh costs nothing on animated rebuilds)."""
+        """World-space chunk tuples for one mesh record.
+
+        The octree split runs ONCE in LOCAL space (cached on the record)
+        and each build only re-transforms the cached chunks' triangles and
+        recomputes tight world AABBs from the transformed vertices - the
+        reference's exact scheme (MeshSplitter splits the local mesh once,
+        RayTracedMesh.cs:24-29 caches localChunks; GetSubMeshes re-runs
+        UpdateWorldChunkFromLocal per frame, whose bounds are the tight
+        min/max over the transformed vertices, RayTracedMesh.cs:60-84 -
+        the octant-grown bounds exist only on the LOCAL chunks). Chunk
+        count and triangle membership are therefore pose-invariant:
+        animating via set_mesh_transform keeps the packed scene's pytree
+        shapes stable across builds (required by
+        render_progressive(scenes=...)), where chunking the world-space
+        triangles per pose redistributed triangles across octants on any
+        rotation/scale. World chunks stay memoized per transform (a
+        static mesh costs nothing on animated rebuilds)."""
         transform = rec["transform"]
         key = b"id" if transform is None else transform.tobytes()
         if rec["cache"] is not None and rec["cache"][0] == key:
             return rec["cache"][1]
-        vertices, normals = rec["vertices"], rec["normals"]
+        if rec["local_chunks"] is None:
+            indices = rec["indices"]
+            tri_pos_l = rec["vertices"][indices]  # (F, 3, 3)
+            tri_nrm_l = rec["normals"][indices]
+            if rec["chunked"]:
+                rec["local_chunks"] = [
+                    (ch.tri_pos, ch.tri_normal)
+                    for ch in create_chunks(
+                        tri_pos_l, tri_nrm_l, max_tris=rec["max_tris"]
+                    )
+                ]
+            else:
+                rec["local_chunks"] = [(tri_pos_l, tri_nrm_l)]
+        material = rec["material"]
         if transform is not None:
             r = transform[:3, :3]
             t = transform[:3, 3]
-            vertices = vertices @ r.T + t
             # Normal matrix = inverse-transpose of the linear part
             # (the reference transforms normals by TransformDirection which
             # assumes uniform scale; we handle general affine).
             n_mat = np.linalg.inv(r).T
-            normals = normals @ n_mat.T
-            normals = normals / np.maximum(
-                np.linalg.norm(normals, axis=1, keepdims=True), 1e-20
-            )
-        indices, material = rec["indices"], rec["material"]
-        tri_pos = vertices[indices]  # (F, 3, 3)
-        tri_normal = normals[indices]
-        if rec["chunked"]:
-            out = [
-                (ch.tri_pos, ch.tri_normal, ch.bounds_min, ch.bounds_max,
-                 material)
-                for ch in create_chunks(
-                    tri_pos, tri_normal, max_tris=rec["max_tris"]
+        out = []
+        for tri_pos, tri_normal in rec["local_chunks"]:
+            if transform is not None:
+                tri_pos = tri_pos @ r.T + t
+                tri_normal = tri_normal @ n_mat.T
+                tri_normal = tri_normal / np.maximum(
+                    np.linalg.norm(tri_normal, axis=2, keepdims=True),
+                    1e-20,
                 )
-            ]
-        else:
-            bmin = tri_pos.reshape(-1, 3).min(axis=0)
-            bmax = tri_pos.reshape(-1, 3).max(axis=0)
-            out = [(tri_pos, tri_normal, bmin, bmax, material)]
+                tri_pos = np.ascontiguousarray(tri_pos, np.float32)
+                tri_normal = np.ascontiguousarray(tri_normal, np.float32)
+            # Tight world bounds from the (transformed) vertices,
+            # matching UpdateWorldChunkFromLocal (RayTracedMesh.cs:60-84).
+            flat = tri_pos.reshape(-1, 3)
+            out.append(
+                (tri_pos, tri_normal, flat.min(axis=0), flat.max(axis=0),
+                 material)
+            )
         rec["cache"] = (key, out)
         return out
 

@@ -118,6 +118,87 @@ def test_mesh_chunk_cache_reuses_static_pose():
     assert s0.content_hash == s1.content_hash
 
 
+def _grid_mesh(n=8, side=2.0):
+    """(n+1)^2-vertex XY grid, 2*n^2 triangles (>48 so the octree splits)."""
+    xs = np.linspace(-side / 2, side / 2, n + 1, dtype=np.float32)
+    v = np.array(
+        [[x, y, 0.0] for y in xs for x in xs], np.float32
+    )
+    f = []
+    for j in range(n):
+        for i in range(n):
+            a = j * (n + 1) + i
+            b = a + 1
+            c = a + n + 1
+            d = c + 1
+            f.append([a, b, d])
+            f.append([a, d, c])
+    return v, np.array(f, np.int64)
+
+
+def _rotation_z(deg):
+    r = np.deg2rad(deg)
+    m = np.eye(4, dtype=np.float32)
+    m[0, 0] = m[1, 1] = np.cos(r)
+    m[0, 1] = -np.sin(r)
+    m[1, 0] = np.sin(r)
+    return m
+
+
+def test_chunk_topology_is_pose_invariant(tmp_path):
+    """Chunking runs once in LOCAL space (MeshSplitter semantics), so a
+    rotation/scale between builds must keep chunk count and triangle
+    membership - and therefore every packed pytree shape - identical
+    (ADVICE round 4: world-space re-chunking redistributed triangles
+    across octants per pose, breaking render_progressive(scenes=...)
+    for rotating chunked meshes)."""
+    import jax
+
+    v, f = _grid_mesh()  # 128 tris: the octree genuinely splits
+    mat = Material.lambertian((0.6, 0.6, 0.6))
+    b = SceneBuilder(env=Environment.disabled())
+    b.add_mesh(v, f, mat)
+    scenes = []
+    for deg in (0.0, 33.0, 61.0):
+        b.set_mesh_transform(0, _rotation_z(deg))
+        scenes.append(b.build())
+    shapes = [
+        [(x.shape, x.dtype) for x in jax.tree_util.tree_leaves(s)]
+        for s in scenes
+    ]
+    assert shapes[1] == shapes[0] and shapes[2] == shapes[0]
+    # chunk membership itself is pose-invariant: per-chunk triangle
+    # counts are equal across poses (only positions/bounds move)
+    np.testing.assert_array_equal(
+        np.asarray(scenes[0].chunks.num_tris),
+        np.asarray(scenes[1].chunks.num_tris),
+    )
+    # and the animated-progressive path accepts the sequence end to end
+    cam = _cam()
+    cfg = RenderConfig(width=32, height=32, max_bounce=1, spp=1)
+    out = render_progressive(
+        scenes[0], cam, cfg, frames=3, scenes=scenes
+    )
+    assert out.shape == (32, 32, 3)
+    assert not np.isnan(out).any()
+
+
+def test_world_chunk_bounds_are_tight_vertex_bounds():
+    """World chunk AABBs are the tight min/max over the (transformed)
+    triangle vertices - UpdateWorldChunkFromLocal semantics
+    (RayTracedMesh.cs:60-84); octant-grown bounds exist only on the
+    local chunks."""
+    v, f = _grid_mesh()
+    b = SceneBuilder(env=Environment.disabled())
+    b.add_mesh(v, f, Material.lambertian((0.5, 0.5, 0.5)))
+    chunks = b._mesh_chunks(b._meshes[0])
+    assert len(chunks) > 1
+    for tri_pos, _, bmin, bmax, _ in chunks:
+        flat = tri_pos.reshape(-1, 3)
+        np.testing.assert_array_equal(bmin, flat.min(axis=0))
+        np.testing.assert_array_equal(bmax, flat.max(axis=0))
+
+
 def test_progressive_scenes_ghosting_matches_manual_fold():
     """Two frames with a moved sphere under accumulation == the manual
     per-frame fold (the reference's ghosting: both poses visible at half
