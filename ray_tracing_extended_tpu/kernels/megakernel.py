@@ -1082,9 +1082,18 @@ def _render_kernel(
             #     the De Bruijn table at tperm[NTP..]), maps rank ->
             #     cluster through the global f2b perm (tperm[0..NTP)),
             #     and runs the Moller-Trumbore block for that row only.
-            #     Drained rows pop bit pattern 0 -> clamped in-range
-            #     word -> a padding cluster whose zero columns cannot
-            #     hit: idempotent, no per-row branches (pl.when costs
+            #     Drained rows pop bit pattern 0 -> ctz(0) resolves to
+            #     rank 0 of the last-scanned summary word, i.e. the
+            #     REAL cluster at global f2b rank 0 (SW == 1) or
+            #     1024*(SW-1) (SW >= 2) - NOT a padding cluster. The
+            #     row pays that cluster's full Moller-Trumbore block
+            #     once per remaining drain iteration, but the fold
+            #     stays exact: the min-fold is idempotent (re-testing
+            #     a visited cluster reproduces dominated candidates),
+            #     and a cluster whose t-bounded slab test failed at
+            #     mask-freeze time can only yield candidates with
+            #     t >= frozen best_t >= final best, which cannot win.
+            #     No per-row branches by design (pl.when costs
             #     ~90 ns/row, the round-2 negative).
             # Masks are FROZEN at tri-section start (post-sphere best_t)
             # like perlane mode 1: frozen visits are a superset, which
@@ -2332,6 +2341,7 @@ def render_frames_mega(
     band_height: int | None = None,
     segs_map: bool = False,
     pair_costs=None,
+    band_local_io: bool = False,
 ):
     """Render ``n_frames`` consecutive frames in ONE kernel launch and fold
     them into the running average ``accum`` ((H, W, 3) f32).
@@ -2380,6 +2390,7 @@ def render_frames_mega(
         ),
         segs_map, pair_costs, perlane=perlane_cull(),
         rowdrain=rowdrain_cull(cfg.mega_rowdrain),
+        band_local_io=band_local_io,
     )
 
 
@@ -2398,7 +2409,7 @@ def _debruijn_ranks() -> np.ndarray:
     return rank
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "ts", "phases", "interpret", "use_cull", "stub_fetch", "stub_intersect", "dup_intersect", "dup_fetch", "band_height", "collect_stats", "n_frames", "ppl", "segs_map", "perlane", "rowdrain"))
+@functools.partial(jax.jit, static_argnames=("cfg", "ts", "phases", "interpret", "use_cull", "stub_fetch", "stub_intersect", "dup_intersect", "dup_fetch", "band_height", "collect_stats", "n_frames", "ppl", "segs_map", "perlane", "rowdrain", "band_local_io"))
 def _render_frame_mega_ts(
     scene: Scene,
     camera,
@@ -2422,6 +2433,7 @@ def _render_frame_mega_ts(
     pair_costs=None,
     perlane: bool = False,
     rowdrain: int | None = None,
+    band_local_io: bool = False,
 ):
     import math as _math
 
@@ -2430,6 +2442,12 @@ def _render_frame_mega_ts(
         raise ValueError("n_frames > 1 requires an accumulator image")
 
     p = scene.packed
+    if p.sub != SUB:
+        raise ValueError(
+            f"scene was packed with SUB={p.sub} but the kernel compiled "
+            f"with SUB={SUB} (RTX_MEGA_SUB changed after this scene was "
+            "packed?) - re-pack the scene under the current setting"
+        )
     TS = ts
     ROWS = (TS * TS) // LANES
     if ROWS % ppl != 0:
@@ -2581,10 +2599,17 @@ def _render_frame_mega_ts(
     use_pperm = pair_costs is not None and ppl > 1
     RS_pp = ROWS // ppl
     if use_pperm:
-        ysc = jnp.minimum(
-            jnp.asarray(y0, jnp.int32) + jnp.arange(n_ty * TS),
-            cfg.height - 1,
-        )
+        if band_local_io:
+            # multi-chip shard: pair_costs is THIS band's
+            # (band_height, W) slice - rows are already band-local
+            # (band_height is TS-aligned, so all n_ty*TS rows exist);
+            # y0 still seeds the kernel's GLOBAL pixel ids
+            ysc = jnp.arange(n_ty * TS)
+        else:
+            ysc = jnp.minimum(
+                jnp.asarray(y0, jnp.int32) + jnp.arange(n_ty * TS),
+                cfg.height - 1,
+            )
         xsc = jnp.minimum(jnp.arange(n_tx * TS), cfg.width - 1)
         cost_t = (
             pair_costs[ysc][:, xsc]
@@ -2682,10 +2707,16 @@ def _render_frame_mega_ts(
         # the kernel's exact pixel mapping (edge tiles clamp to the image,
         # bands index the FULL accumulator so inter-band clamp overlap
         # reads real rows)
-        ys = jnp.minimum(
-            jnp.asarray(y0, jnp.int32) + jnp.arange(n_ty * TS),
-            cfg.height - 1,
-        )
+        if band_local_io:
+            # multi-chip shard: accum is THIS band's (band_height, W, 3)
+            # slice (all n_ty*TS rows exist; rows past the image height
+            # in the LAST band fold garbage that the gather crops)
+            ys = jnp.arange(n_ty * TS)
+        else:
+            ys = jnp.minimum(
+                jnp.asarray(y0, jnp.int32) + jnp.arange(n_ty * TS),
+                cfg.height - 1,
+            )
         xs = jnp.minimum(jnp.arange(n_tx * TS), cfg.width - 1)
         acc_g_full = accum[ys][:, xs]  # (n_ty*TS, n_tx*TS, 3)
         acc_tiled = (

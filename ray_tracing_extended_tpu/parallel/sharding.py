@@ -210,6 +210,134 @@ def render_frame_mega_sharded(
     return img[: cfg.height], segs
 
 
+def mega_band_height(
+    scene: Scene, cfg: RenderConfig, mesh: Mesh,
+    batched: bool = False, paired: bool = False,
+) -> int:
+    """TS-aligned band height for the megakernel band split over 'tiles'.
+
+    Must be computed with the same (batched, paired) flags as the launch:
+    the tile-size default depends on them (kernels/megakernel.tile_size),
+    and the band height must be a multiple of the actual TS."""
+    from ..kernels.megakernel import tile_size
+
+    TS = tile_size(
+        scene.packed, cfg.adaptive_spp, batched=batched, paired=paired,
+        override=cfg.mega_tile_size,
+    )
+    n_bands = mesh.shape["tiles"]
+    rows_per_band = -(-cfg.height // n_bands)
+    return -(-rows_per_band // TS) * TS
+
+
+def init_accum_mega_bands(
+    scene: Scene, cfg: RenderConfig, mesh: Mesh,
+    batched: bool = False, paired: bool = False,
+):
+    """Zero accumulation buffer in band layout (n_bands * bh, W, 3), rows
+    sharded over 'tiles'. Feed to render_frames_mega_sharded; crop the
+    final gather with mega_bands_to_image."""
+    bh = mega_band_height(scene, cfg, mesh, batched=batched, paired=paired)
+    n_bands = mesh.shape["tiles"]
+    z = jnp.zeros((n_bands * bh, cfg.width, 3), jnp.float32)
+    return jax.device_put(z, NamedSharding(mesh, P("tiles")))
+
+
+def mega_bands_to_image(accum_bands, cfg: RenderConfig):
+    """Crop the band-padded accumulator back to the (H, W, 3) image."""
+    return np.asarray(accum_bands)[: cfg.height]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfg", "n_frames", "mesh"),
+    donate_argnums=(4,),
+)
+def render_frames_mega_sharded(
+    scene: Scene,
+    camera: Camera,
+    cfg: RenderConfig,
+    frame0,
+    accum_bands,
+    n_frames: int,
+    mesh: Mesh,
+    pair_costs=None,
+):
+    """Multi-chip K-frame batched megakernel step: the parity-headline
+    scheduler (K frames fused per launch + cost-guided lane pairing)
+    composed with the 'tiles' band split.
+
+    Each band runs ONE render_frames_mega launch over its own rows:
+    the K-frame fold, multi-pixel lanes and cost pairing are all
+    tile-local, so the band split is bit-identical to a single-chip
+    batched launch over the same frame indices (zero hot-loop
+    collectives; the segment count rides one psum).
+
+    ``accum_bands``: (n_bands * bh, W, 3) running average in band layout
+    (init_accum_mega_bands), rows sharded over 'tiles'; donated.
+    ``pair_costs``: None (blind pairing defaults) or the previous step's
+    (n_bands * bh, W) int32 segment map, band-sharded - chain it across
+    steps exactly like the single-chip render_frames_and_accumulate.
+
+    Returns (accum_bands', total segments uint32, (n_bands * bh, W) i32
+    segment map in band layout). 'tiles'-only: an 'spp' > 1 mesh would
+    need a cross-chip sequential fold of each row's K frames - use
+    batch=1 there (progressive.py enforces this).
+    """
+    if mesh.shape["spp"] != 1:
+        raise ValueError(
+            "render_frames_mega_sharded composes the K-frame batch with "
+            "the 'tiles' band split only; spp_parallel must be 1 "
+            "(the in-kernel sequential fold of K frames cannot merge "
+            "across 'spp' rows with one pmean)"
+        )
+    from ..kernels.megakernel import render_frames_mega
+
+    paired = pair_costs is not None
+    bh = mega_band_height(
+        scene, cfg, mesh, batched=n_frames > 1, paired=paired
+    )
+    n_bands = mesh.shape["tiles"]
+    if accum_bands.shape != (n_bands * bh, cfg.width, 3):
+        raise ValueError(
+            f"accum_bands shape {accum_bands.shape} != expected "
+            f"{(n_bands * bh, cfg.width, 3)}; build it with "
+            "init_accum_mega_bands using the same batched/paired flags "
+            "(the TS default - and with it the band height - depends "
+            "on them)"
+        )
+    interpret = mesh.devices.flat[0].platform != "tpu"
+
+    def shard_fn(acc_local, costs_local, frame0):
+        band = lax.axis_index("tiles")
+        acc2, segs, smap = render_frames_mega(
+            scene, camera, cfg, frame0, acc_local, n_frames,
+            interpret=interpret, y0=band * bh, band_height=bh,
+            segs_map=True, pair_costs=costs_local, band_local_io=True,
+        )
+        segs = lax.psum(segs, axis_name="tiles")
+        return acc2, segs, smap
+
+    def shard_fn_unpaired(acc_local, frame0):
+        return shard_fn(acc_local, None, frame0)
+
+    if paired:
+        return shard_map(
+            shard_fn,
+            mesh=mesh,
+            in_specs=(P("tiles"), P("tiles"), P()),
+            out_specs=(P("tiles"), P(), P("tiles")),
+            check_vma=False,
+        )(accum_bands, pair_costs, frame0)
+    return shard_map(
+        shard_fn_unpaired,
+        mesh=mesh,
+        in_specs=(P("tiles"), P()),
+        out_specs=(P("tiles"), P(), P("tiles")),
+        check_vma=False,
+    )(accum_bands, frame0)
+
+
 def render_frame_sharded(
     scene: Scene, camera: Camera, cfg: RenderConfig, frame, mesh: Mesh
 ):

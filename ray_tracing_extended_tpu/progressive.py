@@ -84,7 +84,12 @@ def render_progressive(
     indices. With spp_parallel > 1 each step folds spp_size
     equally-weighted frames at once, which matches the reference
     weighting exactly only without the per-frame clamp - HDR mode
-    (clamp_accumulate=False) is required then.
+    (clamp_accumulate=False) is required then. ``batch`` > 1 composes
+    with an spp_parallel=1 mesh: the parity-headline scheduler (K-frame
+    fused launches + cost-guided pairing, segment map chained across
+    chunks) runs per band, bit-identical to the single-chip batched
+    sequence (render_frames_mega_sharded). ``reset_on_move`` composes at
+    step granularity (each step's spp_size frame seeds share a camera).
     """
     if reset_on_move and cameras is None:
         raise ValueError("reset_on_move requires a cameras sequence")
@@ -123,21 +128,23 @@ def render_progressive(
                     "compiled program is reused"
                 )
     if mesh is not None:
-        if batch > 1:
+        if batch > 1 and mesh.shape["spp"] != 1:
             raise ValueError(
-                "batch > 1 is single-chip only for now; the sharded "
-                "band path renders per frame"
+                "batch > 1 composes with the 'tiles' band split only; "
+                "use an spp_parallel=1 mesh (the in-kernel K-frame fold "
+                "is sequential and cannot merge across 'spp' rows)"
             )
-        if reset_on_move:
+        if batch > 1 and cameras is not None:
             raise ValueError(
-                "reset_on_move is single-chip only for now (the sharded "
-                "path folds spp_size frames per step)"
+                "batch > 1 fuses frames into one launch under a single "
+                "camera; per-frame cameras need batch=1"
             )
         return _render_progressive_sharded(
             scene, camera, cfg, frames, mesh,
             checkpoint_path=checkpoint_path,
             checkpoint_every=checkpoint_every,
             resume=resume, metrics=metrics, cameras=cameras,
+            batch=batch, reset_on_move=reset_on_move,
         )
     start_frame = 0
     accum = jnp.zeros((cfg.height, cfg.width, 3), jnp.float32)
@@ -336,6 +343,8 @@ def _render_progressive_sharded(
     resume: bool = False,
     metrics: MetricsLogger | None = None,
     cameras=None,
+    batch: int = 1,
+    reset_on_move: bool = False,
 ):
     """Multi-chip progressive driver (BASELINE config 5 composition):
     per step, one sharded megakernel launch renders ``spp_size`` frames'
@@ -344,6 +353,19 @@ def _render_progressive_sharded(
     indices [s * spp_size, (s + 1) * spp_size), and folding the step's
     equal-weight sample mean with weight 1/(s+1) reproduces the flat
     average over all frames rendered so far.
+
+    ``batch`` > 1 (requires an spp_parallel=1 mesh; enforced upstream):
+    the parity-headline scheduler runs per band - each chunk is ONE
+    sharded launch of K frames with the cost-paired lane schedule, the
+    segment map chaining into the next chunk's pairing exactly like the
+    single-chip path (render_frames_mega_sharded). Bit-identical to the
+    single-chip batched+paired sequence over the same frame indices.
+
+    ``reset_on_move`` (requires ``cameras``; step granularity): when
+    cameras[s] differs from cameras[s-1] the running average restarts,
+    so the result is the converged average of the trailing run of
+    identical cameras - each step still folds its spp_size frame seeds
+    with the run-relative weight.
 
     NOTE (ADVICE round 3): on this path ``frames`` counts STEPS and
     ``cameras`` is PER-STEP, not per-frame - step s renders its spp_size
@@ -370,6 +392,8 @@ def _render_progressive_sharded(
         fingerprint = ckpt.state_hash(
             scene, cameras if cameras is not None else camera, cfg
         )
+        if reset_on_move:
+            fingerprint += ":reset_on_move"
         if resume:
             import os
 
@@ -384,13 +408,107 @@ def _render_progressive_sharded(
             f"renders {spp_size} frame seeds under it)"
         )
 
+    if batch > 1:
+        # K-frame batched + cost-paired over the band split ('tiles'-only
+        # mesh): the accumulator lives in band layout on-device across
+        # chunks; checkpoints store the cropped image.
+        import jax
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        from .parallel.sharding import (
+            mega_band_height,
+            mega_bands_to_image,
+            render_frames_mega_sharded,
+        )
+
+        # The TS default (and with it the band height) differs between
+        # paired and unpaired launches; chain from a ZEROS cost map so
+        # every chunk is cost-paired with one constant band layout. A
+        # zeros map is the identity pairing - the rendered estimator is
+        # bit-identical for ANY cost map (render_frames_mega docstring),
+        # so this matches the single-chip chain sample-for-sample.
+        bh = mega_band_height(scene, cfg, mesh, batched=True, paired=True)
+        n_bands = mesh.shape["tiles"]
+        pad = n_bands * bh - cfg.height
+        sh = NamedSharding(mesh, P("tiles"))
+        acc_bands = jax.device_put(
+            jnp.concatenate(
+                [
+                    jnp.asarray(accum, jnp.float32),
+                    jnp.zeros((pad, cfg.width, 3), jnp.float32),
+                ]
+            ),
+            sh,
+        )
+        cmap = jax.device_put(
+            jnp.zeros((n_bands * bh, cfg.width), jnp.int32), sh
+        )
+        f = start_step
+        end = start_step + frames
+        while f < end:
+            k = min(batch, end - f)
+            t0 = time.perf_counter()
+            acc_bands, segs, cmap = render_frames_mega_sharded(
+                scene, camera, cfg, jnp.uint32(f), acc_bands, k, mesh,
+                pair_costs=cmap,
+            )
+            segs = int(segs)
+            wall = time.perf_counter() - t0
+            f += k
+            if metrics is not None:
+                metrics.log(
+                    FrameMetrics(
+                        frame=f - 1,
+                        wall_s=wall,
+                        rays=segs,
+                        pixels=cfg.num_pixels,
+                        spp=cfg.spp * k,
+                        extra={
+                            "batched_frames": k,
+                            "mesh": dict(mesh.shape),
+                        },
+                    )
+                )
+            if (
+                checkpoint_path is not None
+                and checkpoint_every
+                and (f // checkpoint_every) > ((f - k) // checkpoint_every)
+            ):
+                ckpt.save(
+                    checkpoint_path, mega_bands_to_image(acc_bands, cfg),
+                    f, fingerprint,
+                )
+        out = mega_bands_to_image(acc_bands, cfg)
+        if checkpoint_path is not None:
+            ckpt.save(checkpoint_path, out, end, fingerprint)
+        return out
+
+    def _same_cam(a, b):
+        import jax
+
+        la = jax.tree_util.tree_leaves(a)
+        lb = jax.tree_util.tree_leaves(b)
+        return len(la) == len(lb) and all(
+            np.array_equal(np.asarray(x), np.asarray(y))
+            for x, y in zip(la, lb)
+        )
+
+    seg0 = start_step
+    if reset_on_move:
+        while seg0 > 0 and _same_cam(cameras[seg0 - 1], cameras[seg0]):
+            seg0 -= 1
+
     for s in range(start_step, start_step + frames):
         cam = cameras[s] if cameras is not None else camera
+        if reset_on_move and s > start_step and not _same_cam(
+            cameras[s - 1], cam
+        ):
+            seg0 = s
         t0 = time.perf_counter()
         img, segs = render_frame_mega_sharded(
             scene, cam, cfg, jnp.uint32(s * spp_size), mesh
         )
-        accum = accumulate(accum, img, s, clamp=cfg.clamp_accumulate)
+        ws = (s - seg0) if reset_on_move else s
+        accum = accumulate(accum, img, ws, clamp=cfg.clamp_accumulate)
         segs = int(segs)  # one host sync per step
         wall = time.perf_counter() - t0
         if metrics is not None:

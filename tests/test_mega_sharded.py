@@ -134,3 +134,108 @@ def test_progressive_cameras_unsharded():
     assert not np.isnan(img).any()
     with pytest.raises(ValueError, match="cameras covers"):
         render_progressive(scene, None, cfg, frames=3, cameras=cams)
+
+
+def test_mega_sharded_batched_paired_triangles_bitexact(monkeypatch):
+    """Round-5 multi-chip productionization: the parity-headline scheduler
+    (K-frame batched launches + cost-guided lane pairing, segment map
+    chained across chunks) composed with the 'tiles' band split must be
+    bit-identical to the single-chip batched+paired chain over the same
+    frame indices - on a TRIANGLE scene, in BOTH fetch modes (the round-4
+    sharded tests were sphere-only). TS/ppl pinned via cfg so paired and
+    unpaired launches share one band layout."""
+    import dataclasses
+
+    import jax
+
+    from ray_tracing_extended_tpu.kernels import pack as pack_mod
+    from ray_tracing_extended_tpu.kernels.megakernel import (
+        render_frames_mega,
+    )
+    from ray_tracing_extended_tpu.models.presets import cornell_box_scene
+    from ray_tracing_extended_tpu.progressive import render_progressive
+
+    for winner in (False, True):
+        if winner:
+            monkeypatch.setattr(pack_mod, "ONEHOT_MAX_SLOTS", 0)
+        scene, cam, cfg = cornell_box_scene(
+            width=64, height=64, max_bounce=3, spp=1
+        )
+        assert (scene.packed.fetch_mode == "winner") == winner
+        cfg = dataclasses.replace(
+            cfg, mega_tile_size=32, mega_pixels_per_lane=2
+        )
+        mesh = make_mesh(jax.devices()[:2], spp_parallel=1)
+        img_sh = render_progressive(
+            scene, cam, cfg, frames=4, mesh=mesh, batch=2
+        )
+        # single-chip chain, seeded with the same zeros cost map the
+        # sharded path uses (identity pairing; estimator-invariant)
+        acc = jnp.zeros((64, 64, 3), jnp.float32)
+        cmap = jnp.zeros((64, 64), jnp.int32)
+        for chunk in range(2):
+            acc, _, cmap = render_frames_mega(
+                scene, cam, cfg, jnp.uint32(2 * chunk), acc, 2,
+                interpret=True, segs_map=True, pair_costs=cmap,
+            )
+        np.testing.assert_array_equal(np.asarray(img_sh), np.asarray(acc))
+
+
+def test_mega_sharded_rowdrain_mesh_bitexact():
+    """Band-split render of a multi-super triangle mesh with the per-row
+    drain forced ON: bit-identical to single-chip (the drain is tile-local,
+    so the band split cannot perturb it). Covers the rowdrain + winner-mode
+    path under a mesh, previously sphere-only."""
+    import dataclasses
+
+    import jax
+
+    from ray_tracing_extended_tpu.models.presets import mesh_scene
+
+    scene, cam, cfg = mesh_scene(
+        width=32, height=32, spp=1, target_tris=1200
+    )
+    assert scene.packed.n_tri_supers > 1
+    cfg = dataclasses.replace(cfg, mega_tile_size=16, mega_rowdrain=True)
+    mesh = make_mesh(jax.devices()[:2], spp_parallel=1)
+    img, segs = render_frame_mega_sharded(scene, cam, cfg, jnp.uint32(1),
+                                          mesh)
+    ref, s0 = render_frame_mega(scene, cam, cfg, jnp.uint32(1),
+                                interpret=True)
+    np.testing.assert_array_equal(np.asarray(img), np.asarray(ref))
+    assert int(segs) == int(s0)
+
+
+def test_progressive_sharded_reset_on_move():
+    """reset_on_move over a mesh (step granularity): after the camera
+    moves, the result is the fresh average of the trailing run - here a
+    single frame, so exactly the single-chip render of that frame."""
+    import jax
+
+    from ray_tracing_extended_tpu.models.presets import flythrough_cameras
+    from ray_tracing_extended_tpu.progressive import render_progressive
+
+    scene, cams, cfg = flythrough_cameras(2, width=64, height=64)
+    cameras = [cams[0], cams[0], cams[1]]
+    mesh = make_mesh(jax.devices()[:2], spp_parallel=1)
+    img = render_progressive(
+        scene, None, cfg, frames=3, cameras=cameras, mesh=mesh,
+        reset_on_move=True,
+    )
+    ref, _ = render_frame_mega(
+        scene, cams[1], cfg, jnp.uint32(2), interpret=True
+    )
+    np.testing.assert_array_equal(np.asarray(img), np.asarray(ref))
+
+
+def test_progressive_sharded_batch_spp_mesh_rejected():
+    import jax
+    import pytest
+
+    from ray_tracing_extended_tpu.models.presets import three_sphere_scene
+    from ray_tracing_extended_tpu.progressive import render_progressive
+
+    scene, cam, cfg = three_sphere_scene(width=64, height=64, spp=1)
+    mesh = make_mesh(jax.devices()[:4], spp_parallel=2)
+    with pytest.raises(ValueError, match="spp_parallel=1"):
+        render_progressive(scene, cam, cfg, frames=2, mesh=mesh, batch=2)

@@ -24,6 +24,23 @@ line per variant. Variants decompose the instruction-mix cost:
   nosqrt    sqrt replaced by a mul (quantifies the sqrt's share)
   noenc     plain f32 min of tq, no where/bitcast encode
   nomin     encode kept, running-best min/store dropped (scratch IO)
+
+Round-5 restructured variants (VERDICT item 3: the pair-block's
+skinny-operand structure - (1, 128) ray rows x (SUB, 1) broadcast
+columns - is the named residual between the block's 2.75-3.0 T
+ceiling and the 8.9 T pure-stream rate; these probe whether any
+reshaping of the SAME work lifts the isolated block):
+  multisub2 two sub-clusters fused per op: (2*SUB, 1) columns, half
+            the visits - taller sublane operands per instruction
+  multisub4 four fused: (4*SUB, 1) columns, quarter the visits
+  multirow  native (8, 128) ray-tile ops: all RS rows advance together
+            against ONE primitive's scalar params per op (the primitive
+            loop replaces the sublane broadcast)
+  twophase  sqrt-free phase-1 test only (b/cc/disc + sign masks, no
+            sqrt/encode/fold): the upper bound of a two-phase scheme
+            where the exact t is recomputed only for rare survivors
+
+Compare pairs_gps across variants (ops_per_pair differs for twophase).
 """
 
 from __future__ import annotations
@@ -51,10 +68,117 @@ _WIDEN = np.int32(~2047)
 
 
 def _make_kernel(variant):
-    def _kernel(rays_ref, cols_ref, o_ref, best_ref):
-        _kernel_body(rays_ref, cols_ref, o_ref, best_ref, variant)
+    if variant.startswith("multisub"):
+        fuse = int(variant[-1])
+
+        def _kernel(rays_ref, cols_ref, o_ref, best_ref):
+            _kernel_body_multisub(rays_ref, cols_ref, o_ref, best_ref,
+                                  fuse)
+    elif variant == "multirow":
+
+        def _kernel(rays_ref, cols_ref, o_ref, best_ref):
+            _kernel_body_multirow(rays_ref, cols_ref, o_ref, best_ref)
+    else:
+
+        def _kernel(rays_ref, cols_ref, o_ref, best_ref):
+            _kernel_body(rays_ref, cols_ref, o_ref, best_ref, variant)
 
     return _kernel
+
+
+def _kernel_body_multisub(rays_ref, cols_ref, o_ref, best_ref, fuse):
+    """Same pair volume, (fuse*SUB, 1) cluster columns per op: cols is
+    pre-reshaped to (NCL/fuse, fuse*SUB, 8) and each visit tests fuse
+    clusters in one broadcast chain - taller sublane operands."""
+    SUBF = fuse * SUB
+    ncl = NCL // fuse
+    ox = rays_ref[0:RS, :]
+    oy = rays_ref[RS : 2 * RS, :]
+    oz = rays_ref[2 * RS : 3 * RS, :]
+    dx = rays_ref[3 * RS : 4 * RS, :]
+    dy = rays_ref[4 * RS : 5 * RS, :]
+    dz = rays_ref[5 * RS : 6 * RS, :]
+    sub_iota_i = lax.broadcasted_iota(jnp.int32, (SUBF, LANES), 0)
+    best_ref[...] = jnp.zeros((RS, LANES), jnp.float32) + _INF
+
+    def step(it, carry):
+        for g in range(RS):
+            for v in range(VISITS // fuse):
+                c = (it * 7 + g * 3 + v) % ncl
+                cols = cols_ref[c]
+                cx = cols[:, 0:1]
+                cy = cols[:, 1:2]
+                cz = cols[:, 2:3]
+                r2c = cols[:, 4:5]
+                ocx = ox[g : g + 1, :] - cx
+                ocy = oy[g : g + 1, :] - cy
+                ocz = oz[g : g + 1, :] - cz
+                b = (
+                    ocx * dx[g : g + 1, :]
+                    + ocy * dy[g : g + 1, :]
+                    + ocz * dz[g : g + 1, :]
+                )
+                cc = ocx * ocx + ocy * ocy + ocz * ocz - r2c
+                tq = -b - jnp.sqrt(b * b - cc)
+                idx_w = (c << 5) | sub_iota_i
+                enc = jnp.where(
+                    tq >= 0.0,
+                    pltpu.bitcast(
+                        (pltpu.bitcast(tq, jnp.int32) & _WIDEN) | idx_w,
+                        jnp.float32,
+                    ),
+                    _INF,
+                )
+                enc_min = jnp.min(enc, axis=0, keepdims=True)
+                best_ref[g : g + 1, :] = jnp.minimum(
+                    enc_min, best_ref[g : g + 1, :]
+                )
+        return carry
+
+    lax.fori_loop(0, STEPS, step, jnp.int32(0))
+    o_ref[...] = best_ref[...]
+
+
+def _kernel_body_multirow(rays_ref, cols_ref, o_ref, best_ref):
+    """Same pair volume, native (RS, 128) ray-tile ops: every op advances
+    ALL ray rows against ONE primitive's (1, 1)-broadcast params (the
+    primitive loop replaces the sublane-axis broadcast)."""
+    ox = rays_ref[0:RS, :]
+    oy = rays_ref[RS : 2 * RS, :]
+    oz = rays_ref[2 * RS : 3 * RS, :]
+    dx = rays_ref[3 * RS : 4 * RS, :]
+    dy = rays_ref[4 * RS : 5 * RS, :]
+    dz = rays_ref[5 * RS : 6 * RS, :]
+    best_ref[...] = jnp.zeros((RS, LANES), jnp.float32) + _INF
+
+    def step(it, carry):
+        for v in range(VISITS):
+            c = (it * 7 + v) % NCL
+            for k in range(SUB):
+                cx = cols_ref[c, k : k + 1, 0:1]
+                cy = cols_ref[c, k : k + 1, 1:2]
+                cz = cols_ref[c, k : k + 1, 2:3]
+                r2c = cols_ref[c, k : k + 1, 4:5]
+                ocx = ox - cx
+                ocy = oy - cy
+                ocz = oz - cz
+                b = ocx * dx + ocy * dy + ocz * dz
+                cc = ocx * ocx + ocy * ocy + ocz * ocz - r2c
+                tq = -b - jnp.sqrt(b * b - cc)
+                idx = np.int32((0 << 5)) | jnp.int32((c << 5) | k)
+                enc = jnp.where(
+                    tq >= 0.0,
+                    pltpu.bitcast(
+                        (pltpu.bitcast(tq, jnp.int32) & _WIDEN) | idx,
+                        jnp.float32,
+                    ),
+                    _INF,
+                )
+                best_ref[...] = jnp.minimum(enc, best_ref[...])
+        return carry
+
+    lax.fori_loop(0, STEPS, step, jnp.int32(0))
+    o_ref[...] = best_ref[...]
 
 
 def _kernel_body(rays_ref, cols_ref, o_ref, best_ref, variant):
@@ -88,6 +212,19 @@ def _kernel_body(rays_ref, cols_ref, o_ref, best_ref, variant):
                     + ocz * dz[g : g + 1, :]
                 )
                 cc = ocx * ocx + ocy * ocy + ocz * ocz - r2c
+                if variant == "twophase":
+                    # phase-1 only: hit-possible + sqrt-free front
+                    # lower bound (-b); the exact t would be recomputed
+                    # for the rare survivors in a second pass
+                    disc = b * b - cc
+                    enc = jnp.where(
+                        (disc >= 0.0) & (b < 0.0), -b, _INF
+                    )
+                    enc_min = jnp.min(enc, axis=0, keepdims=True)
+                    best_ref[g : g + 1, :] = jnp.minimum(
+                        enc_min, best_ref[g : g + 1, :]
+                    )
+                    continue
                 if variant == "nosqrt":
                     tq = -b - (b * b - cc) * np.float32(0.5)
                 else:
@@ -130,6 +267,9 @@ def measure(variant: str = "full") -> dict:
     cols = np.zeros((NCL, SUB, 8), np.float32)
     cols[..., :3] = rng.normal(size=(NCL, SUB, 3))
     cols[..., 4] = 0.25  # r^2
+    if variant.startswith("multisub"):
+        fuse = int(variant[-1])
+        cols = cols.reshape(NCL // fuse, fuse * SUB, 8)
 
     fn = pl.pallas_call(
         _make_kernel(variant),
@@ -168,15 +308,19 @@ def measure(variant: str = "full") -> dict:
     t1 = timed(1)
     t10 = timed(10)
     per_call = max((t10 - t1) / 9.0, 1e-9)
+    # every variant covers the SAME pair volume per call (multisub fuses
+    # clusters per op, multirow fuses rows per op; visit counts adjust)
     pairs = GRID * STEPS * RS * VISITS * SUB * LANES
-    el_ops = pairs * OPS_PER_PAIR
+    ops_per_pair = 25 if variant == "twophase" else OPS_PER_PAIR
+    el_ops = pairs * ops_per_pair
     return {
         "variant": variant,
         "pairblock_tflops": round(el_ops / per_call / 1e12, 3),
+        "pairs_gps": round(pairs / per_call / 1e9, 2),
         "wall_ms": round(per_call * 1000, 3),
         "t1_ms": round(t1 * 1000, 3),
         "pairs": pairs,
-        "ops_per_pair": OPS_PER_PAIR,
+        "ops_per_pair": ops_per_pair,
         "device": str(jax.devices()[0]),
     }
 
