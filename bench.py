@@ -104,8 +104,41 @@ def _measure(run_fn, n_runs):
     return runs
 
 
-def _bench_secondary(name, scene, camera, cfg, n_frames=2, n_runs=2,
+def _tunnel_rtt_ms(reps: int = 3) -> float:
+    """Median round-trip of a tiny device op: the tunnel-health signal
+    recorded alongside every secondary so a 30% day effect (round-4
+    Cornell 326-443 spread) is distinguishable from a regression."""
+    import jax.numpy as jnp
+
+    int(jnp.ones((), jnp.int32))  # warm
+    ts = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        int(jnp.ones((), jnp.int32))
+        ts.append(time.perf_counter() - t0)
+    return round(sorted(ts)[len(ts) // 2] * 1000, 2)
+
+
+def _stats(runs):
+    """median / spread / best over a rep list (VERDICT round-4 item 4:
+    secondaries report dispersion, not just best-of-2)."""
+    vals = sorted(r["mrays"] for r in runs)
+    return {
+        "median": round(vals[len(vals) // 2], 2),
+        "min": round(vals[0], 2),
+        "max": round(vals[-1], 2),
+        "n": len(vals),
+    }
+
+
+def _bench_secondary(name, scene, camera, cfg, n_frames=2, n_runs=5,
                      extra=None, batch=0):
+    """Secondary scene benchmark. Reports value = MEDIAN over ``n_runs``
+    interleaved reps with the min-max spread (round-4 VERDICT item 4:
+    best-of-2 without dispersion made a 30% tunnel day-effect
+    indistinguishable from a regression); when ``batch`` is set the
+    single-frame and batched arms alternate rep-for-rep so drift hits
+    both equally."""
     import jax.numpy as jnp
 
     from ray_tracing_extended_tpu.render import (
@@ -125,18 +158,7 @@ def _bench_secondary(name, scene, camera, cfg, n_frames=2, n_runs=2,
             state["frame"] += 1
         return total
 
-    int(run())  # compile + warm (server-side compile happens here)
-    runs = _measure(run, n_runs)
-    best = max(runs, key=lambda r: r["mrays"])
-    line = {
-        "metric": name,
-        "value": round(best["mrays"], 2),
-        "unit": "Mrays/s",
-        "frame_ms": round(best["wall_s"] / n_frames * 1000, 1),
-        "spp_per_sec": round(cfg.spp * n_frames / best["wall_s"], 3),
-        "config": {"width": cfg.width, "height": cfg.height,
-                   "spp": cfg.spp, "max_bounce": cfg.max_bounce},
-    }
+    run_b = None
     if batch:
         # the production fast path (render_progressive(batch=K)): K
         # frames fused per launch, cost-paired lanes chained from the
@@ -155,14 +177,39 @@ def _bench_secondary(name, scene, camera, cfg, n_frames=2, n_runs=2,
             bstate["frame"] += batch
             return segs
 
+    rtt0 = _tunnel_rtt_ms()
+    int(run())  # compile + warm (server-side compile happens here)
+    if run_b is not None:
         int(run_b())  # compile unpaired + cost map
-        int(run_b())  # compile the paired variant
-        bruns = _measure(run_b, n_runs)
-        bbest = max(bruns, key=lambda r: r["mrays"])
-        line["batched_paired_mrays"] = round(bbest["mrays"], 2)
+        int(run_b())  # compile the cost-paired variant
+    runs, bruns = [], []
+    for _ in range(n_runs):  # interleaved arms: drift hits both equally
+        runs.extend(_measure(run, 1))
+        if run_b is not None:
+            bruns.extend(_measure(run_b, 1))
+    st = _stats(runs)
+    med_run = sorted(runs, key=lambda r: r["mrays"])[len(runs) // 2]
+    line = {
+        "metric": name,
+        "value": st["median"],
+        "value_is": "median",
+        "spread": [st["min"], st["max"]],
+        "n_runs": st["n"],
+        "unit": "Mrays/s",
+        "frame_ms": round(med_run["wall_s"] / n_frames * 1000, 1),
+        "spp_per_sec": round(cfg.spp * n_frames / med_run["wall_s"], 3),
+        "tunnel_rtt_ms": rtt0,
+        "config": {"width": cfg.width, "height": cfg.height,
+                   "spp": cfg.spp, "max_bounce": cfg.max_bounce},
+    }
+    if batch:
+        bst = _stats(bruns)
+        bmed = sorted(bruns, key=lambda r: r["mrays"])[len(bruns) // 2]
+        line["batched_paired_mrays"] = bst["median"]
+        line["batched_spread"] = [bst["min"], bst["max"]]
         line["batched_frames"] = batch
         line["batched_frame_ms"] = round(
-            bbest["wall_s"] / batch * 1000, 1
+            bmed["wall_s"] / batch * 1000, 1
         )
     if extra:
         line.update(extra)

@@ -141,8 +141,13 @@ def _kernel_body_multisub(rays_ref, cols_ref, o_ref, best_ref, fuse):
 
 def _kernel_body_multirow(rays_ref, cols_ref, o_ref, best_ref):
     """Same pair volume, native (RS, 128) ray-tile ops: every op advances
-    ALL ray rows against ONE primitive's (1, 1)-broadcast params (the
-    primitive loop replaces the sublane-axis broadcast)."""
+    ALL ray rows against ONE primitive, whose params arrive as
+    lane-replicated (1, 128) rows (cols is pre-expanded to
+    (NCL * SUB * 4, 128): cx/cy/cz/r2 per primitive) - the primitive
+    loop replaces the sublane-axis broadcast. Mosaic rejects a dynamic
+    (1, 1) -> (RS, 128) double broadcast, so the lane axis is
+    materialized in the table; the sublane broadcast (1 -> RS) is the
+    same one the real kernel's ray rows use."""
     ox = rays_ref[0:RS, :]
     oy = rays_ref[RS : 2 * RS, :]
     oz = rays_ref[2 * RS : 3 * RS, :]
@@ -155,10 +160,11 @@ def _kernel_body_multirow(rays_ref, cols_ref, o_ref, best_ref):
         for v in range(VISITS):
             c = (it * 7 + v) % NCL
             for k in range(SUB):
-                cx = cols_ref[c, k : k + 1, 0:1]
-                cy = cols_ref[c, k : k + 1, 1:2]
-                cz = cols_ref[c, k : k + 1, 2:3]
-                r2c = cols_ref[c, k : k + 1, 4:5]
+                blk = cols_ref[pl.ds(c * SUB * 4 + k * 4, 4), :]
+                cx = blk[0:1, :]
+                cy = blk[1:2, :]
+                cz = blk[2:3, :]
+                r2c = blk[3:4, :]
                 ocx = ox - cx
                 ocy = oy - cy
                 ocz = oz - cz
@@ -270,6 +276,12 @@ def measure(variant: str = "full") -> dict:
     if variant.startswith("multisub"):
         fuse = int(variant[-1])
         cols = cols.reshape(NCL // fuse, fuse * SUB, 8)
+    elif variant == "multirow":
+        # (NCL * SUB * 4, 128): cx/cy/cz/r2 rows, lane-replicated
+        cols = np.repeat(
+            cols[..., [0, 1, 2, 4]].reshape(NCL * SUB * 4, 1), LANES,
+            axis=1,
+        ).astype(np.float32)
 
     fn = pl.pallas_call(
         _make_kernel(variant),
@@ -279,7 +291,9 @@ def measure(variant: str = "full") -> dict:
                 rays.shape, lambda i: (0, 0), memory_space=pltpu.VMEM
             ),
             pl.BlockSpec(
-                cols.shape, lambda i: (0, 0, 0), memory_space=pltpu.VMEM
+                cols.shape,
+                lambda i, _nd=cols.ndim: (0,) * _nd,
+                memory_space=pltpu.VMEM,
             ),
         ],
         out_specs=pl.BlockSpec(
